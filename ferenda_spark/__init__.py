@@ -1,0 +1,17 @@
+"""ferenda_spark — a from-scratch PySpark-native knowledge-graph
+construction engine with the query/data-processing capabilities of
+redhog/ferenda.
+
+Pipeline: pages -> docs -> sections -> mentions -> entities/triples
+-> canonicalized triples -> edges, all as DataFrame jobs with
+vectorized Arrow/pandas UDF stages, per-partition lineage rows, and
+checkpoint-resume.
+
+Reference semantics (what is computed, never how):
+/root/reference/ferenda — see SURVEY.md for file:line citations.
+"""
+
+__version__ = "0.1.0"
+
+from ferenda_spark.config import PipelineConfig  # noqa: F401
+from ferenda_spark.session import get_spark  # noqa: F401

@@ -1,0 +1,83 @@
+"""Pages source + generic table I/O.
+
+In production the pages table is Iceberg
+(`spark.table("cc.pages")`, bucket-partitioned on url-host for
+intra-site cross-reference locality — north rule). This sandbox has
+no Iceberg runtime jars, so tables round-trip through partitioned
+parquet with the same layout; `write_table`/`read_table` are the
+single seam where `format("iceberg")` would slot in.
+
+Synthetic pages are generated *distributed*: `spark.range(n)` →
+`mapInPandas` calling the pure per-doc generator — no driver-side
+corpus, so bench-scale corpora (10^5-10^6 docs) build in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ferenda_spark.config import PipelineConfig
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    cfg: PipelineConfig | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pages DataFrame of n_docs rows, built on executors."""
+    cfg = cfg or PipelineConfig()
+    partitions = partitions or max(8, min(256, n_docs // 256 or 8))
+
+    def gen(batches):
+        import pandas as pd
+
+        from ferenda_spark.datagen import pages_rows
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            if not ids:
+                continue
+            rows = []
+            for i in ids:
+                rows.extend(pages_rows(seed, int(i), int(i) + 1, n_docs, cfg))
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def with_url_bucket(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Stable hash bucket on url-host — the parquet stand-in for the
+    Iceberg `bucket(N, url_host)` partition transform (north rule:
+    hash partitioning on url-host for intra-site locality)."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return df.withColumn(
+        "url_bucket", F.pmod(F.xxhash64(host), F.lit(cfg.url_buckets)).cast("int")
+    )
