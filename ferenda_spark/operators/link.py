@@ -1,0 +1,98 @@
+"""Entity linking: name mentions -> gazetteer entities -> minted URIs.
+
+Reference semantics (documentrepository.py:528-575 lookup_resource):
+exact label match first, then fuzzy (difflib.get_close_matches,
+cutoff 0.8) with a warning. The gazetteer is small (dimension-sized)
+— classic broadcast join; the fuzzy pass only runs on the exact-miss
+remainder, as a vectorized pandas UDF scoring each candidate name
+against the broadcast label list.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ferenda_spark.config import PipelineConfig
+
+GAZETTEER_SCHEMA = T.StructType(
+    [
+        T.StructField("slug", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("alt_labels", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def gazetteer_df(spark: SparkSession, cfg: PipelineConfig | None = None) -> DataFrame:
+    from ferenda_spark.datagen import gazetteer_rows
+
+    rows = [
+        (g["slug"], g["label"], g["alt_labels"]) for g in gazetteer_rows(cfg)
+    ]
+    return spark.createDataFrame(rows, GAZETTEER_SCHEMA)
+
+
+def _name_lookup(gaz: DataFrame) -> DataFrame:
+    """Exploded (name_lower -> primary label) lookup incl. alt labels."""
+    return (
+        gaz.select(
+            F.col("label"),
+            F.explode(
+                F.array_union(F.array(F.col("label")), F.col("alt_labels"))
+            ).alias("name"),
+        )
+        .select(F.lower(F.col("name")).alias("name_lower"), "label")
+        .dropDuplicates(["name_lower"])
+    )
+
+
+def link_names(
+    names: DataFrame,
+    gaz: DataFrame,
+    cfg: PipelineConfig,
+    name_col: str = "publisher_name",
+) -> DataFrame:
+    """names(..., name_col) -> + entity_label, link_method.
+
+    Exact pass: broadcast equi-join on lowercase name.
+    Fuzzy pass: only exact-miss rows, difflib ratio >= cfg.fuzzy_cutoff
+    against the broadcast candidate list (mirrors get_close_matches).
+    """
+    lookup = _name_lookup(gaz)
+    exact = names.join(
+        F.broadcast(lookup),
+        F.lower(F.col(name_col)) == F.col("name_lower"),
+        "left",
+    ).drop("name_lower")
+
+    hits = exact.filter(F.col("label").isNotNull()).withColumn(
+        "link_method", F.lit("exact")
+    )
+    misses = exact.filter(F.col("label").isNull()).drop("label")
+
+    cand = [(r["name_lower"], r["label"]) for r in lookup.collect()]
+    cutoff = cfg.fuzzy_cutoff
+
+    @F.pandas_udf(T.StringType())
+    def fuzzy_match(s: pd.Series) -> pd.Series:
+        import difflib
+
+        names_l = [c[0] for c in cand]
+        by_name = dict(cand)
+
+        def best(v):
+            if not v:
+                return None
+            got = difflib.get_close_matches(v.lower(), names_l, n=1, cutoff=cutoff)
+            return by_name[got[0]] if got else None
+
+        return s.map(best)
+
+    fuzzy = misses.withColumn("label", fuzzy_match(F.col(name_col))).withColumn(
+        "link_method",
+        F.when(F.col("label").isNotNull(), F.lit("fuzzy")).otherwise(F.lit(None)),
+    )
+    return hits.unionByName(fuzzy).withColumnRenamed("label", "entity_label")

@@ -1,0 +1,174 @@
+"""End-to-end KG construction: pages -> triples + edges.
+
+The parse->relate lifecycle of the reference
+(documentrepository.py:127-172 entry points; trace SURVEY.md §3)
+restated as a sequence of DataFrame jobs:
+
+  pages --extract--> docs --segment--> segments
+        --mentions--> mentions --link/mint/emit--> triples_raw
+        --CC--> canon --rewrite--> triples --relate--> edges
+
+Two modes:
+- build_kg(): fully lazy, in-memory (tests, benchmarks of raw
+  throughput) — one persisted cut at `segments` (consumed 3×).
+- run_pipeline(): materialized, each stage written bucketed-by-url
+  with per-partition lineage rows -> checkpoint-resume (north rule).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ferenda_spark.config import OWL_SAMEAS, PipelineConfig
+from ferenda_spark.operators.canonicalize import connected_components, rewrite_triples
+from ferenda_spark.operators.emit import (
+    doc_uri_col,
+    emit_doc_triples,
+    emit_mention_triples,
+    emit_sameas_triples,
+    emit_section_triples,
+)
+from ferenda_spark.operators.extract import extract_docs
+from ferenda_spark.operators.link import gazetteer_df, link_names
+from ferenda_spark.operators.mentions import detect_mentions, mention_target_uri
+from ferenda_spark.operators.relate import relate_edges
+from ferenda_spark.operators.segment import segment_sections
+from ferenda_spark.streaming.resume import (
+    new_run_id,
+    run_bucketed_stage,
+    run_global_stage,
+    with_bucket,
+)
+
+
+@dataclass
+class KGResult:
+    docs: DataFrame
+    segments: DataFrame
+    mentions: DataFrame
+    triples: DataFrame
+    canon: DataFrame
+    edges: DataFrame
+
+
+def _assemble_triples(
+    spark: SparkSession, segments: DataFrame, mentions: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(triples_raw, linked_doc_rows) from segment + mention tables."""
+    doc_rows = segments.filter(F.col("kind") == "doc")
+    linked = link_names(
+        doc_rows.withColumn("publisher_name", F.col("meta")["publisher_name"]),
+        gazetteer_df(spark, cfg),
+        cfg,
+    )
+    docids = doc_rows.select(
+        "url", F.col("meta")["docid"].alias("docid")
+    ).filter(F.col("docid").isNotNull())
+
+    sections = segments.filter(F.col("kind") == "section").join(docids, "url")
+    m = mention_target_uri(mentions, cfg).join(docids, "url")
+
+    triples_raw = (
+        emit_doc_triples(linked, cfg)
+        .unionByName(emit_section_triples(sections, cfg))
+        .unionByName(emit_mention_triples(m, cfg))
+        .unionByName(emit_sameas_triples(linked, cfg))
+    )
+    return triples_raw, docids
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig | None = None,
+    extra_sameas: DataFrame | None = None,
+) -> KGResult:
+    """Lazy in-memory pipeline (no intermediate tables)."""
+    cfg = cfg or PipelineConfig()
+    docs = extract_docs(pages)
+    segments = segment_sections(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    mentions = detect_mentions(segments)
+    triples_raw, docids = _assemble_triples(spark, segments, mentions, cfg)
+
+    sameas = triples_raw.filter(F.col("pred") == OWL_SAMEAS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    if extra_sameas is not None:
+        sameas = sameas.unionByName(extra_sameas.select("src", "dst"))
+    canon = connected_components(sameas)
+    triples = rewrite_triples(triples_raw, canon)
+
+    doc_directory = docids.select(
+        doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url"
+    )
+    edges = relate_edges(triples, doc_directory)
+    return KGResult(docs, segments, mentions, triples, canon, edges)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    cfg: PipelineConfig | None = None,
+    run_id: str | None = None,
+    resume: bool = True,
+) -> KGResult:
+    """Materialized pipeline with per-bucket lineage + resume."""
+    cfg = cfg or PipelineConfig()
+    run_id = run_id or new_run_id()
+    nb = cfg.url_buckets
+    lineage = os.path.join(out_root, "lineage")
+
+    def p(name: str) -> str:
+        return os.path.join(out_root, name)
+
+    docs = run_bucketed_stage(
+        spark, "extract", with_bucket(extract_docs(pages), nb),
+        p("docs"), lineage, run_id, nb, resume,
+    )
+    segments = run_bucketed_stage(
+        spark, "segment", with_bucket(segment_sections(docs), nb),
+        p("segments"), lineage, run_id, nb, resume,
+    )
+    mentions = run_bucketed_stage(
+        spark, "mentions", with_bucket(detect_mentions(segments), nb),
+        p("mentions"), lineage, run_id, nb, resume,
+    )
+
+    def mk_raw():
+        raw, _ = _assemble_triples(spark, segments, mentions, cfg)
+        return raw
+
+    triples_raw = run_bucketed_stage(
+        spark, "emit", with_bucket(mk_raw(), nb, col="subj"),
+        p("triples_raw"), lineage, run_id, nb, resume,
+    )
+    canon = run_global_stage(
+        spark, "canonicalize",
+        lambda: connected_components(
+            triples_raw.filter(F.col("pred") == OWL_SAMEAS).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        ),
+        p("canon"), lineage, run_id, resume,
+    )
+    triples = run_global_stage(
+        spark, "rewrite",
+        lambda: with_bucket(rewrite_triples(triples_raw, canon), nb, col="subj"),
+        p("triples"), lineage, run_id, resume,
+    )
+    doc_rows = segments.filter(F.col("kind") == "doc")
+    doc_directory = doc_rows.select(
+        doc_uri_col(cfg, F.col("meta")["docid"]).alias("doc_uri"), "url"
+    ).filter(F.col("doc_uri").isNotNull())
+    edges = run_global_stage(
+        spark, "relate",
+        lambda: relate_edges(triples, doc_directory),
+        p("edges"), lineage, run_id, resume,
+    )
+    return KGResult(docs, segments, mentions, triples, canon, edges)
