@@ -1,0 +1,105 @@
+"""Benchmark: headline queries + end-to-end KG construction.
+
+Prints ONE JSON line:
+  {"metric": "e2e_headline_sec", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "kg": {...}, ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[*] parallelism (default 32)
+  BENCH_MASTER        override master (scaling runs: local[8])
+  BENCH_KG_DOCS       KG corpus size (default: documents rowcount)
+
+Scaling protocol (BASELINE.md §3): run twice —
+  BENCH_MASTER=local[8]  python bench.py
+  BENCH_MASTER=local[32] python bench.py
+and compare kg.triples_per_sec (tools/scaling_bench.sh automates it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ferenda_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "facet_pivot",
+    "window_topn",
+    "toc_pages",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_jaccard",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "ann_bruteforce",
+    "ann_lsh",
+    "neardup_threshold",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    master = os.environ.get("BENCH_MASTER")
+    spark = get_spark("bench", master=master)
+
+    from ferenda_spark import queries as catalog
+    from ferenda_spark.pipeline import build_kg
+    from ferenda_spark.sources.pages import synth_pages
+
+    qs = catalog.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # end-to-end KG construction throughput (docs -> materialized triples)
+    n_docs = int(
+        os.environ.get("BENCH_KG_DOCS", "0")
+    ) or spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    pages = synth_pages(spark, n_docs=n_docs, seed=42)
+    t0 = time.time()
+    kg = build_kg(spark, pages)
+    n_triples = kg.triples.count()
+    kg_secs = time.time() - t0
+    t1 = time.time()
+    n_edges = kg.edges.count()
+    kg_edges_secs = time.time() - t1
+    timings["kg_pipeline"] = round(kg_secs, 3)
+    timings["kg_relate"] = round(kg_edges_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "e2e_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "master": spark.sparkContext.master,
+        "kg": {
+            "docs": n_docs,
+            "triples": n_triples,
+            "edges": n_edges,
+            "pipeline_sec": round(kg_secs, 3),
+            "triples_per_sec": round(n_triples / kg_secs, 1),
+            "docs_per_sec": round(n_docs / kg_secs, 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

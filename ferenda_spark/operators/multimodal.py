@@ -1,0 +1,138 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference's analog is its binary document intake (PDFs/DOC via
+pdfreader.py / wordreader.py — SURVEY.md §2.1 S4): bytes in, typed
+structure out, decoder pluggable per format.  Here the contract is
+Spark-first:
+
+- media rows are `(id, kind, payload BINARY, meta STRUCT)`;
+- every transform is `mapInPandas` over Arrow batches — payloads
+  never pass through per-row Python, and batch size bounds executor
+  memory (`spark.sql.execution.arrow.maxRecordsPerBatch`);
+- the *codec* (actual image/audio decode) is a stubbed seam: the
+  container has no media libraries, so `decode_fn=None` uses a
+  deterministic fake that derives features from the payload bytes
+  (md5-seeded), keeping schemas/partitioning/tests real.  At
+  deployment, pass a real decode_fn (PIL/librosa/ffmpeg) — nothing
+  else changes.
+
+Scale notes: media payloads dominate row size, so feature extraction
+projects payload *out* as early as possible (select only id+features
+after the UDF); repartition upstream by id so one batch never holds
+more than `maxRecordsPerBatch × max_payload` bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_bytes", T.LongType(), False),
+        T.StructField("payload_md5", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, kind: str, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: md5-chain over the
+    payload → `dim` floats in [0, 1).  Replace via decode_fn."""
+    out, h = [], hashlib.md5(kind.encode() + (payload or b"")).digest()
+    while len(out) < dim:
+        for i in range(0, 16, 4):
+            out.append(int.from_bytes(h[i : i + 4], "big") / 2**32)
+        h = hashlib.md5(h).digest()
+    return out[:dim]
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    decode_fn: Callable[[bytes, str, int], list[float]] | None = None,
+) -> DataFrame:
+    """media → (id, kind, payload_bytes, payload_md5, feature).
+
+    `decode_fn(payload, kind, dim)` is the pluggable codec; the
+    default fake keeps CI hermetic.  Real decode (image resize,
+    audio spectrogram, video frame-sample) raises ImportError here —
+    see `real_decode_stub`."""
+    fn = decode_fn or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "payload_md5": [
+                        hashlib.md5(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                    "feature": [
+                        fn(p, k, dim) for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def real_decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
+    """The production codec seam. Requires PIL/librosa/ffmpeg, which
+    this container does not ship."""
+    raise NotImplementedError(
+        "real media decode requires PIL/librosa/ffmpeg; pass a decode_fn "
+        "built on those at deployment — the Spark plumbing is unchanged"
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling *plan*: one output row per sampled
+    timestamp, derived from meta.duration_ms — pure column ops
+    (sequence + explode), with the actual frame grab left to the
+    decode seam.  Output (id, frame_ts_ms)."""
+    from pyspark.sql import functions as F
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

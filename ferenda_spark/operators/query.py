@@ -1,0 +1,248 @@
+"""Query layer: facets, TOC groupings, stats, rankings, pagination.
+
+Reference semantics (SURVEY.md §2.5-2.8): ferenda's query side is
+SPARQL SELECTs + Python dict/group loops over the accumulated graph
+(documentrepository.py:2260-2423 faceted_data/facet_query,
+:2881-3021 toc_pagesets/toc_select_for_pages, wsgiapp.py:232-386
+stats, graphanalyze.py:268-328 citation counts, :537-575 degree
+distribution, :896-921 pagerank ranking). Here each is a declarative
+DataFrame plan — Catalyst handles pushdown/pruning/broadcast; the
+iterative PageRank is the only driver-side loop.
+
+Every function takes and returns DataFrames; nothing collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def round_portable(col, n: int):
+    """Engine-portable half-up rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+    Built-in round() differs between engines exactly at half
+    boundaries of the double's decimal expansion; this formula is a
+    fixed IEEE op sequence, so any engine produces the same bits.
+    Positive inputs only."""
+    scale = float(10**n)
+    return (F.floor(col * scale + 0.5) / scale).alias(f"_r{n}")
+
+
+# ------------------------------------------------------------------ P7: facets
+
+def facet_pivot(df: DataFrame, key: str, facet: str, values: list[str]) -> DataFrame:
+    """SPARQL SELECT-with-OPTIONALs restated as a pivot
+    (documentrepository.py:2318-2408): one row per `key`, one count
+    column per known facet value.  `values` is passed explicitly so
+    the plan needs no extra distinct-scan job and the output schema
+    is stable (required for 10^12-row plans: a dynamic pivot would
+    collect the value set to the driver first).
+    """
+    aggs = [
+        F.coalesce(F.sum(F.when(F.col(facet) == v, F.lit(1)).cast("long")), F.lit(0))
+        .cast("long")
+        .alias(v)
+        for v in values
+    ]
+    return df.groupBy(key).agg(*aggs)
+
+
+# ------------------------------------------------------------ A1/A2: TOC pages
+
+def title_sortkey(col):
+    """facet.py:195-210 titlesortkey: lowercase, strip non-alnum."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def firstletter(col):
+    """facet.py:212-232 firstletter: first sortkey char, '-' if empty."""
+    k = title_sortkey(col)
+    return F.when(F.length(k) > 0, F.substring(k, 1, 1)).otherwise(F.lit("-"))
+
+
+def toc_pagesets(df: DataFrame, title_col: str) -> DataFrame:
+    """A1 toc_pagesets: distinct selector values + member counts.
+    Output: (letter, n_items)."""
+    return (
+        df.select(firstletter(F.col(title_col)).alias("letter"))
+        .groupBy("letter")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+def toc_select_for_pages(
+    df: DataFrame, title_col: str, id_col: str, per_page: int = 3
+) -> DataFrame:
+    """A2 toc_select_for_pages: group rows by selector, keep the
+    first `per_page` per group ordered by title sortkey (ties by id).
+    Window row_number, not a driver-side group loop."""
+    w = Window.partitionBy("letter").orderBy("sortkey", id_col)
+    return (
+        df.select(
+            firstletter(F.col(title_col)).alias("letter"),
+            title_sortkey(F.col(title_col)).alias("sortkey"),
+            F.col(title_col).alias("title"),
+            F.col(id_col),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= per_page)
+        .drop("sortkey")
+    )
+
+
+# ----------------------------------------------------------------- A4: stats
+
+def stats_slices(df: DataFrame, dimension: str, uri_col: str) -> DataFrame:
+    """wsgiapp.py:312-386 stats_slice: per (dimension, observation)
+    count of distinct uris.  Output (observation, n) per dimension
+    value."""
+    return (
+        df.groupBy(F.col(dimension).alias("observation"))
+        .agg(F.countDistinct(uri_col).cast("long").alias("n"))
+    )
+
+
+# ------------------------------------------------- A5/A6: citation analytics
+
+def citation_topk(
+    edges: DataFrame, dst: str, k: int = 20, canon: DataFrame | None = None
+) -> DataFrame:
+    """graphanalyze.py:268-328: count citing docs per (canonicalized)
+    target, top-k by count desc (ties by target asc for
+    determinism).  canon(uri, canon_uri) rewrites dst first."""
+    e = edges
+    if canon is not None:
+        e = (
+            e.join(canon, e[dst] == canon["uri"], "left")
+            .withColumn(dst, F.coalesce("canon_uri", dst))
+            .drop("uri", "canon_uri")
+        )
+    return (
+        e.groupBy(F.col(dst).alias("target"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_citing"))
+        .orderBy(F.desc("n_citing"), F.asc("target"))
+        .limit(k)
+    )
+
+
+def degree_histogram(edges: DataFrame, dst: str) -> DataFrame:
+    """graphanalyze.py:537-575: in-degree per node, then histogram of
+    degrees. Two groupBys; the second input is |V| rows, trivially
+    small after the first aggregation."""
+    deg = edges.groupBy(dst).agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+# ------------------------------------------------------------- W1: PageRank
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """graphanalyze.py:896-921 ranks a citation digraph by pagerank.
+    Iterative DataFrame loop (SURVEY.md §4 item 3): contributions =
+    ranks ⋈ out-edges, groupBy(dst).sum; dangling mass redistributed
+    uniformly so the ranks stay a probability distribution.
+    localCheckpoint every few rounds truncates plan lineage —
+    without it the plan doubles per iteration and Catalyst analysis
+    time dominates at scale.
+
+    Returns (node, rank: double). Deterministic given the edge set.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass as a lazy 1-row broadcast, not a driver
+        # collect — the whole iteration chain stays one job
+        tot = F.broadcast(
+            contribs.agg(
+                F.greatest(
+                    F.lit(0.0), F.lit(1.0) - F.coalesce(F.sum("inflow"), F.lit(0.0))
+                ).alias("dangling")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(tot)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("dangling") / n_nodes
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+# ----------------------------------------------- W4/W5: pagination & windows
+
+def paginate(df: DataFrame, order_cols: list, pagenum: int, pagelen: int) -> DataFrame:
+    """fulltextindex.py:835-836 / wsgiapp.py:634-660 pager: global
+    row_number over the sort order, keep one page.  Window with no
+    partition = single-reducer sort; acceptable because pagination
+    is a top-(pagenum*pagelen) problem — at scale prefilter with a
+    per-partition top-k before the global window."""
+    w = Window.orderBy(*order_cols)
+    lo, hi = (pagenum - 1) * pagelen, pagenum * pagelen
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    )
+
+
+def feed_archive_windows(df: DataFrame, order_cols: list, archivesize: int = 100) -> DataFrame:
+    """documentrepository.py:3553-3575 fixed-size archive pages:
+    bucket = floor((rn-1)/archivesize). Returns per-bucket counts."""
+    w = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "archive_page", F.floor((F.col("rn") - 1) / archivesize).cast("long")
+        )
+        .groupBy("archive_page")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
+    )
+
+
+# --------------------------------------------------- J5: composite resolution
+
+def composite_union_dedup(
+    dfs: list[DataFrame], key: str, priority_col: str = "source_priority"
+) -> DataFrame:
+    """compositerepository.py:29-47: union subrepo doc sets, first
+    subrepo wins per key.  unionByName + row_number over priority."""
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    w = Window.partitionBy(key).orderBy(priority_col)
+    return u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

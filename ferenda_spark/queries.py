@@ -1,0 +1,706 @@
+"""Driver-contract query catalog: Spark plans + DuckDB oracle twins.
+
+Each entry binds one operator from SURVEY.md §2 (or a training-data
+op) to the driver's testdata tables.  The Spark side runs the real
+library operators (ferenda_spark.operators.*); the oracle is an
+independent ANSI-SQL restatement executed by DuckDB on the same
+parquet — column names and logical types are aligned on both sides
+so the driver's sorted-column value-hash comparison is exact.
+
+Cross-engine determinism rules used throughout:
+- money sums: CAST(x AS DECIMAL(38,6)) summed exactly, result cast
+  to double (unique nearest-double of an exact decimal);
+- hashes: md5 hex strings (identical lowercase hex in both engines);
+- counts/ranks: BIGINT on both sides;
+- float ordering (cosine): only ids/ranks are returned, never raw
+  floats; candidate similarity gaps dwarf engine rounding noise;
+- LIMIT/top-k: always fully tie-broken ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators import dedup as D
+from ferenda_spark.operators import query as Q
+from ferenda_spark.operators import similarity as S
+from ferenda_spark.operators import textstats as X
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _sql_r(x: str, n: int) -> str:
+    """SQL twin of query.round_portable."""
+    return f"FLOOR(({x}) * 1e{n} + 0.5) / 1e{n}"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    """Exact-sum money column: double → decimal(38,6)."""
+    return col.cast("decimal(38,6)")
+
+
+def _dsum(col, alias):
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+# =================================================================== TPC-H-ish
+
+def q_pricing_summary(spark, sf_dir):
+    """A7-style aggregation (TPC-H Q1 shape): groupBy two flags,
+    exact decimal sums + derived averages."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1997-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            n.alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            Q.round_portable(F.col("sum_qty").cast("double") / F.col("count_order"), 6),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       FLOOR(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J-chain with broadcast dims (SURVEY §2.5): lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region; revenue per nation.  nation/region
+    are broadcast; AQE picks broadcast for customer at small SF."""
+    li, od = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    cu, na = _t(spark, sf_dir, "customer"), F.broadcast(_t(spark, sf_dir, "nation"))
+    re = F.broadcast(_t(spark, sf_dir, "region"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(na, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(re, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(_dsum(disc, "revenue"), F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    )
+
+
+ORACLE_REVENUE = """
+SELECT n_name AS nation, r_name AS region,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """A5 citation_topk shape on orders: top 20 customers by order
+    count (ties by key)."""
+    return Q.citation_topk(_t(spark, sf_dir, "orders"), "o_custkey", k=20).select(
+        F.col("target").alias("custkey"), "n_citing"
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey AS custkey, COUNT(*) AS n_citing FROM orders
+GROUP BY o_custkey ORDER BY n_citing DESC, custkey ASC LIMIT 20
+"""
+
+
+def q_degree_histogram(spark, sf_dir):
+    """A6 degree distribution: orders-per-customer histogram."""
+    return Q.degree_histogram(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+ORACLE_DEGREE_HIST = """
+WITH deg AS (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_year_facet(spark, sf_dir):
+    """facet.year selector (facet.py:156-177): orders per year."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+ORACLE_YEAR_FACET = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_facet_pivot(spark, sf_dir):
+    """P7 facet SELECT-with-OPTIONALs as a stable-schema pivot:
+    events per user per event_type."""
+    return Q.facet_pivot(_t(spark, sf_dir, "events"), "user_id", "event_type", EVENT_TYPES)
+
+
+ORACLE_FACET_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_stats_slices(spark, sf_dir):
+    """A4 api-stats: distinct users per event_type dimension."""
+    return Q.stats_slices(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+ORACLE_STATS = """
+SELECT event_type AS observation, COUNT(DISTINCT user_id) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_toc_pagesets(spark, sf_dir):
+    """A1 toc_pagesets: first-letter pageset over part names."""
+    return Q.toc_pagesets(_t(spark, sf_dir, "part"), "p_name")
+
+
+ORACLE_TOC_PAGESETS = """
+WITH k AS (SELECT regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS sk FROM part)
+SELECT CASE WHEN length(sk) > 0 THEN substr(sk, 1, 1) ELSE '-' END AS letter,
+       COUNT(*) AS n_items
+FROM k GROUP BY 1
+"""
+
+
+def q_toc_pages(spark, sf_dir):
+    """A2 toc_select_for_pages: first 3 parts per letter by sortkey."""
+    return Q.toc_select_for_pages(_t(spark, sf_dir, "part"), "p_name", "p_partkey").select(
+        "letter", F.col("title").alias("p_name"), "p_partkey", "rn"
+    )
+
+
+ORACLE_TOC_PAGES = """
+WITH k AS (
+  SELECT p_name, p_partkey,
+         regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS sk FROM part
+), r AS (
+  SELECT CASE WHEN length(sk) > 0 THEN substr(sk, 1, 1) ELSE '-' END AS letter,
+         p_name, p_partkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY (CASE WHEN length(sk) > 0 THEN substr(sk, 1, 1) ELSE '-' END)
+           ORDER BY sk, p_partkey) AS rn
+  FROM k)
+SELECT letter, p_name, p_partkey, rn FROM r WHERE rn <= 3
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J7 semi-join: customers that placed at least one order."""
+    cu, od = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return cu.join(od, cu["c_custkey"] == od["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J8/C11 skeleton anti-join: customers never referenced by an
+    order (referred-to-but-missing inverted)."""
+    cu, od = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return cu.join(od, cu["c_custkey"] == od["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """J5 composite-repo resolution: union customer+supplier name
+    rosters, first source wins per name."""
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.lit(1).cast("long").alias("source_priority"),
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.lit(2).cast("long").alias("source_priority"),
+    )
+    return Q.composite_union_dedup([cu, su], "name")
+
+
+ORACLE_UNION_DEDUP = """
+WITH u AS (
+  SELECT c_name AS name, CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(1 AS BIGINT) AS source_priority FROM customer
+  UNION ALL
+  SELECT s_name, CAST(s_nationkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier
+), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY name ORDER BY source_priority) rn FROM u)
+SELECT name, nationkey, source_priority FROM r WHERE rn = 1
+"""
+
+
+def q_paginate(spark, sf_dir):
+    """W4 pagination: page 3 (50/page) of orders by totalprice desc."""
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec(F.col("o_totalprice")).cast("double").alias("total")
+    )
+    return Q.paginate(od, [F.desc("total"), F.asc("o_orderkey")], pagenum=3, pagelen=50)
+
+
+ORACLE_PAGINATE = """
+WITH r AS (
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS total,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+SELECT o_orderkey, total, rn FROM r WHERE rn > 100 AND rn <= 150
+"""
+
+
+def q_feed_windows(spark, sf_dir):
+    """W5 Atom archive windows: events in fixed 100-entry pages."""
+    ev = _t(spark, sf_dir, "events")
+    return Q.feed_archive_windows(ev, [F.asc("ts"), F.asc("event_id")], 100)
+
+
+ORACLE_FEED_WINDOWS = """
+WITH r AS (SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn FROM events)
+SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS archive_page, COUNT(*) AS n_entries
+FROM r GROUP BY 1
+"""
+
+
+def q_window_topn(spark, sf_dir):
+    """A2/W-shape: top 2 orders per customer by totalprice."""
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+ORACLE_WINDOW_TOPN = """
+WITH r AS (SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+  FROM orders)
+SELECT o_custkey, o_orderkey, rn FROM r WHERE rn <= 2
+"""
+
+
+def _nation_edges(spark, sf_dir):
+    li, od = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    cu, su = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    na = F.broadcast(_t(spark, sf_dir, "nation"))
+    cn = na.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+    sn = na.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("c_nationkey") == F.col("ck"))
+        .join(sn, F.col("s_nationkey") == F.col("sk"))
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_pagerank_nations(spark, sf_dir):
+    """W1 PageRank over the customer-nation → supplier-nation trade
+    digraph; 5 iterations, d=0.85, dangling mass redistributed."""
+    ranks = Q.pagerank(_nation_edges(spark, sf_dir), iterations=5, checkpoint_every=1)
+    return ranks.select("node", Q.round_portable(F.col("rank"), 8).alias("rank_r8"))
+
+
+def _oracle_pagerank(iterations: int = 5, d: float = 0.85) -> str:
+    """Unrolled-iteration PageRank CTE chain mirroring Q.pagerank."""
+    sql = """
+WITH edges AS (
+  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_name != sn.n_name),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
+"""
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+inf{i} AS (SELECT dst AS node, SUM(rank / od) AS inflow
+          FROM {prev} JOIN outdeg ON {prev}.node = outdeg.src
+          JOIN edges ON edges.src = outdeg.src GROUP BY dst),
+tot{i} AS (SELECT GREATEST(0.0, 1.0 - COALESCE(SUM(inflow), 0.0)) AS dangling FROM inf{i}),
+pr{i} AS (SELECT nodes.node,
+           (1.0 - {d}) / nn.n + {d} * tot{i}.dangling / nn.n
+             + {d} * COALESCE(inf{i}.inflow, 0.0) AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN tot{i}
+          LEFT JOIN inf{i} ON nodes.node = inf{i}.node)
+"""
+        prev = f"pr{i}"
+    sql += f"SELECT node, FLOOR(rank * 1e8 + 0.5) / 1e8 AS rank_r8 FROM {prev}"
+    return sql
+
+
+# ====================================================== training-data: dedup
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups over documents (md5 of normalized text)."""
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS representative, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 3], ' ') AS s
+       FROM toks, unnest(range(0, GREATEST(len(w) - 3, 0) + 1)) AS t(i)
+       WHERE len(w) >= 3)
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.1 over documents."""
+    sh = D.word_shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    return D.jaccard_pairs(sh, 0.1).select(
+        "id_a", "id_b", Q.round_portable(F.col("jaccard"), 6).alias("jaccard_r6")
+    )
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       FLOOR(CAST(c AS DOUBLE) / (s1.n + s2.n - c) * 1e6 + 0.5) / 1e6 AS jaccard_r6
+FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(8)+LSH(4 bands × 2 rows) candidate pairs."""
+    sh = D.word_shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
+    sig = D.minhash_signatures(sh, n_hashes=8)
+    return D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_SQL_SHINGLES},
+seeds AS (SELECT CAST(i AS INT) AS seed FROM unnest(range(0, 8)) AS t(i)),
+mh AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
+       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+banded AS (SELECT doc_id, (seed // 2) AS band,
+                  md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+           FROM mh GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document."""
+    return D.simhash(_t(spark, sf_dir, "documents"), "text", "doc_id", bits=32)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split({_SQL_NORM}, ' ')) AS t(tok)),
+bits AS (SELECT CAST(i AS INT) + 1 AS j FROM unnest(range(0, 32)) AS t(i)),
+contrib AS (
+  SELECT doc_id, j,
+         CASE WHEN substr(md5(tok), j, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END AS s
+  FROM toks CROSS JOIN bits),
+sums AS (SELECT doc_id, j, SUM(s) AS tot FROM contrib GROUP BY 1, 2)
+SELECT doc_id AS id,
+       string_agg(CASE WHEN tot >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+# ============================================== training-data: text analysis
+
+def q_token_count(spark, sf_dir):
+    return X.token_count(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id AS id,
+       CAST(len(string_split({_SQL_NORM}, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return X.lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _oracle_lang_id() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter(string_split({_SQL_NORM}, ' '), "
+            f"x -> x IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in X.LANG_MARKERS
+    }
+    max_n = "GREATEST(" + ", ".join(hits.values()) + ")"
+    case = "CASE WHEN " + f"{max_n} = 0 THEN 'und' "
+    for lang in [l for l, _ in X.LANG_MARKERS]:
+        case += f"WHEN {hits[lang]} = {max_n} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+SELECT doc_id AS id, {case} AS predicted_lang,
+       CAST({max_n} AS BIGINT) AS marker_hits
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    return X.quality_score(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_EN = ", ".join(repr(m) for m in X.LANG_MARKERS[0][1])
+ORACLE_QUALITY = f"""
+WITH b AS (
+  SELECT doc_id, {_SQL_NORM} AS t, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+f AS (
+  SELECT doc_id, len(w) AS n,
+         length(replace(t, ' ', '')) AS nonspace,
+         length(regexp_replace(t, '[^a-z]', '', 'g')) AS alpha,
+         len(list_filter(w, x -> x IN ({_EN}))) AS stop
+  FROM b),
+g AS (
+  SELECT doc_id, n,
+         {_sql_r("CAST(nonspace AS DOUBLE) / n", 6)} AS mean_token_len,
+         {_sql_r("CAST(alpha AS DOUBLE) / GREATEST(nonspace, 1)", 6)} AS alpha_ratio,
+         {_sql_r("CAST(stop AS DOUBLE) / n", 6)} AS stopword_ratio,
+         (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END) AS length_ok
+  FROM f)
+SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens, mean_token_len, alpha_ratio,
+       stopword_ratio,
+       {_sql_r("0.4 * alpha_ratio + 0.3 * LEAST(stopword_ratio * 5.0, 1.0) + 0.3 * length_ok", 6)} AS quality
+FROM g
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return X.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id", k=4)
+
+
+ORACLE_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, {_SQL_NORM} AS t,
+                     string_split({_SQL_NORM}, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+              md5(array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 4], ' ')) AS h
+       FROM toks, unnest(range(0, GREATEST(len(w) - 4, 0) + 1)) AS t(i))
+SELECT toks.doc_id AS id, md5(t) AS content_md5, MIN(h) AS min_shingle_fp
+FROM toks JOIN sh ON toks.doc_id = sh.doc_id
+GROUP BY toks.doc_id, t
+"""
+
+
+# =============================================== training-data: similarity
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for probe vectors vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_ANN = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (approximate — recall vs brute force
+    asserted in tests; no SQL twin, hyperplanes are md5-derived)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_neardup_threshold(spark, sf_dir):
+    """Exact all-pairs cosine ≥ 0.45, BLAS-vectorized via
+    mapInPandas (the LSH-bucketed variant is the >memory scale
+    path, similarity.neardup_pairs)."""
+    return S.threshold_pairs_exact(_t(spark, sf_dir, "embeddings"), 0.45)
+
+
+ORACLE_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+"""
+
+
+# ============================================================== KG pipeline
+
+def _kg(spark, sf_dir, n_cap: int = 400):
+    """Build the KG over deterministic synthetic pages; corpus size
+    keyed to the sf's documents row count (capped for query-time)."""
+    from ferenda_spark.pipeline import build_kg
+    from ferenda_spark.sources.pages import synth_pages
+
+    n = min(_t(spark, sf_dir, "documents").count(), n_cap)
+    return build_kg(spark, synth_pages(spark, n_docs=int(n), seed=42))
+
+
+def q_kg_triples(spark, sf_dir):
+    """Flagship: full pages→triples KG construction (no SQL twin —
+    FSM segmentation + minting are checked by golden pytest
+    fixtures instead, tests/test_golden_pipeline.py)."""
+    return _kg(spark, sf_dir).triples.select("subj", "pred", "obj", "obj_is_uri")
+
+
+def q_kg_edges(spark, sf_dir):
+    """relate: cross-document dependency edges (J1)."""
+    return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
+
+
+def q_kg_canon(spark, sf_dir):
+    """sameAs connected components → canonical map (T7)."""
+    return _kg(spark, sf_dir).canon.select("uri", "canon_uri")
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """W1 over the KG citation graph (doc-level edges)."""
+    e = _kg(spark, sf_dir).edges.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    ranks = Q.pagerank(e, iterations=5, checkpoint_every=1)
+    return ranks.select("node", Q.round_portable(F.col("rank"), 8).alias("rank_r8"))
+
+
+# =============================================================== the catalog
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "degree_histogram": q_degree_histogram,
+        "year_facet": q_year_facet,
+        "facet_pivot": q_facet_pivot,
+        "stats_slices": q_stats_slices,
+        "toc_pagesets": q_toc_pagesets,
+        "toc_pages": q_toc_pages,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "union_dedup": q_union_dedup,
+        "paginate": q_paginate,
+        "feed_windows": q_feed_windows,
+        "window_topn": q_window_topn,
+        "pagerank_nations": q_pagerank_nations,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "fingerprint": q_fingerprint,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "neardup_threshold": q_neardup_threshold,
+        "kg_triples": q_kg_triples,
+        "kg_edges": q_kg_edges,
+        "kg_canon": q_kg_canon,
+        "kg_pagerank": q_kg_pagerank,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pricing_summary": ORACLE_PRICING,
+        "revenue_by_nation": ORACLE_REVENUE,
+        "top_customers": ORACLE_TOP_CUSTOMERS,
+        "degree_histogram": ORACLE_DEGREE_HIST,
+        "year_facet": ORACLE_YEAR_FACET,
+        "facet_pivot": ORACLE_FACET_PIVOT,
+        "stats_slices": ORACLE_STATS,
+        "toc_pagesets": ORACLE_TOC_PAGESETS,
+        "toc_pages": ORACLE_TOC_PAGES,
+        "semi_join": ORACLE_SEMI,
+        "anti_join": ORACLE_ANTI,
+        "union_dedup": ORACLE_UNION_DEDUP,
+        "paginate": ORACLE_PAGINATE,
+        "feed_windows": ORACLE_FEED_WINDOWS,
+        "window_topn": ORACLE_WINDOW_TOPN,
+        "pagerank_nations": _oracle_pagerank(),
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+        "dedup_minhash": ORACLE_DEDUP_MINHASH,
+        "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "lang_id": _oracle_lang_id(),
+        "quality_score": ORACLE_QUALITY,
+        "fingerprint": ORACLE_FINGERPRINT,
+        "ann_bruteforce": ORACLE_ANN,
+        "neardup_threshold": ORACLE_NEARDUP,
+        # ann_lsh, kg_* : non-SQL-expressible (md5-derived hyperplanes /
+        # FSM segmentation / iterative CC); golden pytest fixtures +
+        # recall tests cover them.
+    }

@@ -1,0 +1,126 @@
+"""Training-data operators: dedup, similarity, text stats,
+multimodal plumbing.  Semantics tests on hand-built corpora plus
+recall/robustness properties; cross-engine value equality is covered
+by tools/selfcheck.py + the driver's DuckDB gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators import dedup as D
+from ferenda_spark.operators import multimodal as M
+from ferenda_spark.operators import similarity as S
+from ferenda_spark.operators import textstats as X
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "The  quick brown fox jumps over the lazy dog "),  # exact dup of 0 mod ws/case
+    (3, "completely different words entirely unrelated text corpus"),
+    (4, "x"),                                              # shorter than shingle k
+    (5, ""),                                               # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    groups = {
+        r["representative"]: r["n_copies"]
+        for r in D.exact_dedup_groups(docs, "text", "doc_id").collect()
+    }
+    assert groups[0] == 2          # 0 and 2 collapse
+    assert groups[1] == 1
+    assert sum(groups.values()) == 6
+
+
+def test_jaccard_finds_neardup(docs):
+    sh = D.word_shingles(docs, "text", "doc_id", k=3)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(sh, 0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.4 < pairs[(0, 1)] < 0.9
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    sh = D.word_shingles(docs, "text", "doc_id", k=3)
+    sig = D.minhash_signatures(sh, n_hashes=8)
+    assert sig.groupBy("id").count().filter("count != 8").count() == 0
+    cands = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig, 4, 2).collect()}
+    assert (0, 2) in cands  # identical shingle sets always collide
+    assert (0, 3) not in cands
+
+
+def test_simhash_properties(docs):
+    rows = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in rows.values())
+    assert rows[0] == rows[2]  # normalization-equal docs agree
+    ham01 = sum(a != b for a, b in zip(rows[0], rows[1]))
+    ham03 = sum(a != b for a, b in zip(rows[0], rows[3]))
+    assert ham01 < ham03  # near-dup closer than unrelated
+
+
+def test_textstats_edge_cases(docs):
+    tc = {r.id: (r.n_ws_tokens, r.n_word_tokens) for r in X.token_count(docs, "text", "doc_id").collect()}
+    assert tc[0] == (9, 9)
+    assert tc[5] == (1, 0)  # empty text → [''] split, zero word tokens
+    li = {r.id: r.predicted_lang for r in X.lang_id(docs, "text", "doc_id").collect()}
+    assert li[0] == "en"
+    assert li[5] == "und"
+    q = {r.id: r for r in X.quality_score(docs, "text", "doc_id").collect()}
+    assert q[0].quality > q[5].quality
+    fp = {r.id: r for r in X.fingerprint(docs, "text", "doc_id").collect()}
+    assert fp[0].content_md5 == fp[2].content_md5
+    assert fp[0].min_shingle_fp is not None
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    """LSH top-k must recover most of the exact top-k."""
+    probes = embeddings.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(embeddings, probes, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.lsh_topk(embeddings, probes, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_threshold_pairs_exact_symmetric(spark, embeddings):
+    pairs = S.threshold_pairs_exact(embeddings, 0.40).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert len(got) == len(pairs)  # no dup emission
+
+
+def test_multimodal_features(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG fake"), ("image/png", 4, 4, None)),
+            (2, "audio", bytearray(b"RIFF fake"), ("audio/wav", None, None, 1500)),
+            (3, "video", None, ("video/mp4", None, None, 2500)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    feats = {r.id: r for r in M.extract_features(media, dim=8).collect()}
+    assert len(feats) == 3
+    assert len(feats[1].feature) == 8
+    assert feats[3].payload_bytes == 0
+    # deterministic: same payload → same feature
+    again = {r.id: r for r in M.extract_features(media, dim=8).collect()}
+    assert feats[1].feature == again[1].feature
+    # frame sampling plan from metadata only
+    frames = M.frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r.id, r.frame_ts_ms) for r in frames} == {(3, 0), (3, 1000), (3, 2000)}
+    with pytest.raises(NotImplementedError):
+        M.real_decode_stub(b"", "image", 8)
