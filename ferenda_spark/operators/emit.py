@@ -44,6 +44,23 @@ def _t(subj, pred, obj, obj_is_uri, lang=None, datatype=None):
     ]
 
 
+def _ts(subj, pred, obj, obj_is_uri, lang=None, datatype=None):
+    """One triple as a struct element for the array+explode emitter."""
+    return F.struct(*_t(subj, pred, obj, obj_is_uri, lang, datatype))
+
+
+def _explode_triples(df: DataFrame, elements: list) -> DataFrame:
+    """N triples per row in ONE scan: array of (possibly-NULL,
+    via unmatched F.when) triple structs → filter nulls → explode.
+    The reference emits per-predicate (Describer calls,
+    describer.py:26-105); a per-predicate union here would rescan
+    the input once per predicate — at 10^12 rows that multiplies
+    the read 5-7×, so the emitter is a single generator projection
+    (SURVEY.md §2.4 T1)."""
+    arr = F.filter(F.array(*elements), lambda x: x.isNotNull())
+    return df.select(F.explode(arr).alias("t")).select("t.*")
+
+
 def doc_uri_col(cfg: PipelineConfig, docid_col) -> F.Column:
     """canonical_uri: {base}/res/{alias}/{docid}
     (documentrepository.py:693-709)."""
@@ -64,41 +81,38 @@ def emit_doc_triples(doc_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).filter(F.col("docid").isNotNull())
 
     u = F.col("uri")
-    parts = [
-        d.select(*_t(u, RDF_TYPE, F.lit(NS["rfc"] + "RFC"), True)),
-        d.filter(F.col("title") != "").select(
-            *_t(u, DCT + "title", F.col("title"), False, lang=F.col("lang"))
-        ),
-        d.select(
-            *_t(u, DCT + "identifier", F.concat(F.lit("RFC "), F.col("docid")), False)
-        ),
-        d.filter(F.col("issued").isNotNull() & (F.col("issued") != "")).select(
-            *_t(
-                u,
-                DCT + "issued",
-                F.col("issued"),
-                False,
-                datatype=NS["xsd"] + "gYearMonth",
-            )
-        ),
-        d.select(*_t(u, PROV_GENERATED_BY, F.lit(cfg.pipeline_id), False)),
-    ]
-    pub = d.filter(F.col("entity_label").isNotNull())
     primary = sorted(ENTITY_TEMPLATES, key=lambda t: t.priority)[0]
-    parts.append(
-        pub.select(
-            *_t(
-                u,
-                DCT + "publisher",
-                mint_entity_uri_col(F.col("entity_label"), cfg, primary),
-                True,
-            )
-        )
+    return _explode_triples(
+        d,
+        [
+            _ts(u, RDF_TYPE, F.lit(NS["rfc"] + "RFC"), True),
+            F.when(
+                F.col("title") != "",
+                _ts(u, DCT + "title", F.col("title"), False, lang=F.col("lang")),
+            ),
+            _ts(u, DCT + "identifier", F.concat(F.lit("RFC "), F.col("docid")), False),
+            F.when(
+                F.col("issued").isNotNull() & (F.col("issued") != ""),
+                _ts(
+                    u,
+                    DCT + "issued",
+                    F.col("issued"),
+                    False,
+                    datatype=NS["xsd"] + "gYearMonth",
+                ),
+            ),
+            _ts(u, PROV_GENERATED_BY, F.lit(cfg.pipeline_id), False),
+            F.when(
+                F.col("entity_label").isNotNull(),
+                _ts(
+                    u,
+                    DCT + "publisher",
+                    mint_entity_uri_col(F.col("entity_label"), cfg, primary),
+                    True,
+                ),
+            ),
+        ],
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def emit_section_triples(sections: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -120,28 +134,26 @@ def emit_section_triples(sections: DataFrame, cfg: PipelineConfig) -> DataFrame:
     parent = F.when(F.col("parent_frag") == "", F.col("doc_uri")).otherwise(
         F.concat(F.col("doc_uri"), F.lit("#"), F.col("parent_frag"))
     )
-    parts = [
-        s.select(*_t(u, RDF_TYPE, F.lit(BIBO + "DocumentPart"), True)),
-        s.filter(F.col("title") != "").select(
-            *_t(u, DCT + "title", F.col("title"), False, lang=F.col("lang"))
-        ),
-        s.select(*_t(u, BIBO + "chapter", F.col("ordinal"), False)),
-        s.select(
-            *_t(
+    return _explode_triples(
+        s,
+        [
+            _ts(u, RDF_TYPE, F.lit(BIBO + "DocumentPart"), True),
+            F.when(
+                F.col("title") != "",
+                _ts(u, DCT + "title", F.col("title"), False, lang=F.col("lang")),
+            ),
+            _ts(u, BIBO + "chapter", F.col("ordinal"), False),
+            _ts(
                 u,
                 DCT + "identifier",
                 F.concat(
                     F.lit("RFC "), F.col("docid"), F.lit(", section "), F.col("ordinal")
                 ),
                 False,
-            )
-        ),
-        s.select(*_t(u, DCT + "isPartOf", parent, True)),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            ),
+            _ts(u, DCT + "isPartOf", parent, True),
+        ],
+    )
 
 
 def emit_mention_triples(mentions_with_target: DataFrame, cfg: PipelineConfig) -> DataFrame:

@@ -91,8 +91,25 @@ def link_names(
 
         return s.map(best)
 
-    fuzzy = misses.withColumn("label", fuzzy_match(F.col(name_col))).withColumn(
-        "link_method",
-        F.when(F.col("label").isNotNull(), F.lit("fuzzy")).otherwise(F.lit(None)),
+    # difflib is O(|label|²) per candidate — run it once per DISTINCT
+    # unmatched surface form (misspellings repeat across a corpus:
+    # web-scale name distributions are Zipf), then broadcast-join the
+    # tiny resolution table back onto the rows.
+    miss_names = (
+        misses.select(F.col(name_col).alias("_fz_name"))
+        .distinct()
+        .withColumn("label", fuzzy_match(F.col("_fz_name")))
+    )
+    fuzzy = (
+        misses.join(
+            F.broadcast(miss_names),
+            misses[name_col] == miss_names["_fz_name"],
+            "left",
+        )
+        .drop("_fz_name")
+        .withColumn(
+            "link_method",
+            F.when(F.col("label").isNotNull(), F.lit("fuzzy")).otherwise(F.lit(None)),
+        )
     )
     return hits.unionByName(fuzzy).withColumnRenamed("label", "entity_label")

@@ -46,11 +46,13 @@ def detect_mentions(segments: DataFrame) -> DataFrame:
     return (
         segments.select(
             "url",
+            "docid",
             "frag_id",
             F.explode(_scan_udf(F.col("text"))).alias("m"),
         )
         .select(
             "url",
+            "docid",
             "frag_id",
             F.col("m.pattern").alias("pattern"),
             F.col("m.mention_text").alias("mention_text"),
@@ -64,13 +66,12 @@ def detect_mentions(segments: DataFrame) -> DataFrame:
 def mention_target_uri(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Attach `target_uri` per mention via the formatter rule dict.
 
-    section_internal needs the subject document's own URI; the docid
-    is recoverable from the url tail by construction here — in a
-    deployment where it is not, join mentions to the docmeta table on
-    url instead (same shape, co-partitioned by url).
+    section_internal needs the subject document's own URI; the
+    docid rides on every mention row (stamped at segmentation —
+    SURVEY.md §4: avoid a |docs|-sized join by construction).
     """
     base = f"{cfg.base_uri}/res/{cfg.alias}"
-    own_docid = F.regexp_extract(F.col("url"), r"(\d+)$", 1)
+    own_docid = F.col("docid")
     target = (
         F.when(
             F.col("pattern") == "sec_of_rfc",

@@ -204,6 +204,89 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """graphanalyze.py:907-921 ranks by HITS authorities: alternating
+    auth(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v) over
+    out-edges, L2-normalized each half-step (Kleinberg '99, public
+    literature).  Two aggregations per iteration; same checkpoint
+    discipline as pagerank.  Returns (node, authority, hub)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+
+    def _l2(df: DataFrame, col: str) -> DataFrame:
+        norm = F.broadcast(df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")))
+        return df.crossJoin(norm).withColumn(col, F.col(col) / F.col("_n")).drop("_n")
+
+    for i in range(iterations):
+        auth = (
+            scores.join(e, scores["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        scores = _l2(
+            nodes.join(auth, "node", "left")
+            .join(scores.select("node", "hub"), "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth"), "hub"),
+            "auth",
+        )
+        hub = (
+            scores.join(e, scores["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        scores = _l2(
+            nodes.join(hub, "node", "left")
+            .join(scores.select("node", "auth"), "node", "left")
+            .select("node", "auth", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+    return scores
+
+
+def average_precision(
+    ranked: DataFrame, gold: DataFrame, query_col: str, item_col: str, rank_col: str
+) -> DataFrame:
+    """W3 IR evaluation (graphanalyze.py:760-806): AP per query =
+    mean over relevant hits of precision@hit-rank; MAP is the mean
+    of this output.  `ranked` carries (query, item, rank); `gold`
+    carries the relevant (query, item) pairs.  Pure window algebra —
+    no driver loop."""
+    w = Window.partitionBy(query_col).orderBy(rank_col)
+    hitsdf = ranked.join(gold, [query_col, item_col], "left_semi")
+    prec = hitsdf.withColumn("hit_no", F.row_number().over(w)).withColumn(
+        "prec_at", F.col("hit_no").cast("double") / F.col(rank_col)
+    )
+    n_gold = gold.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    return (
+        prec.groupBy(query_col)
+        .agg(F.sum("prec_at").alias("sum_prec"))
+        .join(n_gold, query_col, "right")
+        .select(
+            query_col,
+            (F.coalesce("sum_prec", F.lit(0.0)) / F.col("n_rel")).alias("ap"),
+        )
+    )
+
+
 # ----------------------------------------------- W4/W5: pagination & windows
 
 def paginate(df: DataFrame, order_cols: list, pagenum: int, pagelen: int) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 SEGMENTS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
+        T.StructField("docid", T.StringType(), True),       # on every row: no join needed downstream
         T.StructField("kind", T.StringType(), False),       # doc | section
         T.StructField("frag_id", T.StringType(), False),    # '' for doc
         T.StructField("parent_frag", T.StringType(), True),
@@ -45,9 +46,11 @@ def segment_sections(docs: DataFrame) -> DataFrame:
             rows = []
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["extracted_text"]):
                 meta, sections = segment_document(text or "")
+                docid = meta.get("docid")
                 rows.append(
                     {
                         "url": url,
+                        "docid": docid,
                         "kind": "doc",
                         "frag_id": "",
                         "parent_frag": None,
@@ -67,6 +70,7 @@ def segment_sections(docs: DataFrame) -> DataFrame:
                     rows.append(
                         {
                             "url": url,
+                            "docid": docid,
                             "kind": "section",
                             "frag_id": f"S{s['ordinal']}",
                             "parent_frag": f"S{s['parent']}" if s["parent"] else "",

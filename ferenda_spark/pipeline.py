@@ -61,17 +61,22 @@ def _assemble_triples(
 ) -> tuple[DataFrame, DataFrame]:
     """(triples_raw, linked_doc_rows) from segment + mention tables."""
     doc_rows = segments.filter(F.col("kind") == "doc")
+    # linked feeds both emit_doc_triples and emit_sameas_triples —
+    # persist so the gazetteer join + fuzzy pass run once
     linked = link_names(
         doc_rows.withColumn("publisher_name", F.col("meta")["publisher_name"]),
         gazetteer_df(spark, cfg),
         cfg,
-    )
-    docids = doc_rows.select(
-        "url", F.col("meta")["docid"].alias("docid")
-    ).filter(F.col("docid").isNotNull())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docids = doc_rows.select("url", "docid").filter(F.col("docid").isNotNull())
 
-    sections = segments.filter(F.col("kind") == "section").join(docids, "url")
-    m = mention_target_uri(mentions, cfg).join(docids, "url")
+    # docid is stamped on every segment/mention row at segmentation
+    # time, so the |docs|-sized equi-joins the reference's relate
+    # step implies simply do not exist here (SURVEY.md §4)
+    sections = segments.filter(
+        (F.col("kind") == "section") & F.col("docid").isNotNull()
+    )
+    m = mention_target_uri(mentions, cfg).filter(F.col("docid").isNotNull())
 
     triples_raw = (
         emit_doc_triples(linked, cfg)
@@ -94,12 +99,19 @@ def build_kg(
     segments = segment_sections(docs).persist(StorageLevel.MEMORY_AND_DISK)
     mentions = detect_mentions(segments)
     triples_raw, docids = _assemble_triples(spark, segments, mentions, cfg)
+    # triples_raw feeds BOTH the sameAs extraction (consumed
+    # iteratively by CC) and the rewrite — without this persist the
+    # whole mention+emit DAG executes twice
+    triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     sameas = triples_raw.filter(F.col("pred") == OWL_SAMEAS).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     if extra_sameas is not None:
         sameas = sameas.unionByName(extra_sameas.select("src", "dst"))
+    # CC iterates over its input — materialize the edge set once so
+    # each star round doesn't re-filter the full triples scan
+    sameas = sameas.persist(StorageLevel.MEMORY_AND_DISK)
     canon = connected_components(sameas)
     triples = rewrite_triples(triples_raw, canon)
 
@@ -164,7 +176,7 @@ def run_pipeline(
     )
     doc_rows = segments.filter(F.col("kind") == "doc")
     doc_directory = doc_rows.select(
-        doc_uri_col(cfg, F.col("meta")["docid"]).alias("doc_uri"), "url"
+        doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url"
     ).filter(F.col("doc_uri").isNotNull())
     edges = run_global_stage(
         spark, "relate",
