@@ -168,39 +168,41 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    # size-aware state partitioning: iteration state for a small
+    # graph in 1 partition, growing with |V| up to the session cap —
+    # per-iteration micro-shuffles otherwise dominate wall clock
+    sc = edges.sparkSession.sparkContext
+    part = max(1, min(sc.defaultParallelism * 4, n_nodes // 100_000 + 1))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iterations):
+        # contribs is consumed twice (dangling scalar + next ranks):
+        # eager-checkpoint it so neither consumer re-runs the chain —
+        # a lazy broadcast subquery here re-evaluates every prior
+        # iteration once per consumer and goes super-linear
         contribs = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
             .join(e, "src")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
+            .coalesce(part)
+            .localCheckpoint()
         )
-        # dangling mass as a lazy 1-row broadcast, not a driver
-        # collect — the whole iteration chain stays one job
-        tot = F.broadcast(
-            contribs.agg(
-                F.greatest(
-                    F.lit(0.0), F.lit(1.0) - F.coalesce(F.sum("inflow"), F.lit(0.0))
-                ).alias("dangling")
-            )
-        )
+        total_inflow = contribs.agg(F.sum("inflow")).first()[0] or 0.0
+        dangling = max(0.0, 1.0 - total_inflow)
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             nodes.join(contribs, "node", "left")
-            .crossJoin(tot)
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.col("dangling") / n_nodes
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                    F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.coalesce(part).localCheckpoint()
     return ranks
 
 
@@ -229,10 +231,17 @@ def hits(
         .persist()
     )
     scores = nodes.select("node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    sc = edges.sparkSession.sparkContext
+    n_nodes = nodes.count()
+    part = max(1, min(sc.defaultParallelism * 4, n_nodes // 100_000 + 1))
 
     def _l2(df: DataFrame, col: str) -> DataFrame:
-        norm = F.broadcast(df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")))
-        return df.crossJoin(norm).withColumn(col, F.col(col) / F.col("_n")).drop("_n")
+        # eager-checkpoint before the norm scalar: the df is consumed
+        # twice (norm + normalized output) and lazily it would re-run
+        # the whole iteration chain per consumer
+        df = df.coalesce(part).localCheckpoint()
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] or 1.0
+        return df.withColumn(col, F.col(col) / F.lit(norm))
 
     for i in range(iterations):
         auth = (

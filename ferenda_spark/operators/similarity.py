@@ -169,20 +169,47 @@ def lsh_topk(
     re-rank inside the candidate set.  Same output contract as
     brute_force_topk (ranks may differ — that's the approximation;
     recall is asserted in tests, not here)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
     tbls = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(tables)]
+    planes = np.asarray(tbls, dtype=np.float64)  # (tables, n_planes, dim)
 
     def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.concat(F.lit(f"{t}:"), lsh_bucket_col(F.col(vec_col), tbls[t]))
-                for t in range(tables)
+        # all `tables` sign-patterns per vector in one BLAS matmul
+        # per Arrow batch — the expression equivalent evaluates
+        # tables × n_planes array folds per row
+        schema = T.StructType(
+            [
+                T.StructField(idname, T.LongType()),
+                T.StructField(vecname, T.ArrayType(T.DoubleType())),
+                T.StructField("bucket", T.StringType()),
             ]
         )
-        return df.select(
-            F.col(id_col).alias(idname),
-            _as_double(F.col(vec_col)).alias(vecname),
-            F.explode(buckets).alias("bucket"),
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                bits = (
+                    np.einsum("bd,tpd->btp", mat, planes) >= 0
+                )  # (batch, tables, planes)
+                ids, vecs, buckets = [], [], []
+                for i in range(len(pdf)):
+                    for t in range(tables):
+                        ids.append(pdf["id"].iloc[i])
+                        vecs.append(pdf["v"].iloc[i])
+                        buckets.append(
+                            f"{t}:" + "".join("1" if b else "0" for b in bits[i, t])
+                        )
+                yield pd.DataFrame({idname: ids, vecname: vecs, "bucket": buckets})
+
+        src = df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
+        return src.mapInPandas(run, schema=schema)
 
     c = bucketed(corpus, "neighbor_id", "cv")
     q = bucketed(queries, "query_id", "qv")

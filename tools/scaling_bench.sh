@@ -3,12 +3,12 @@
 # job at N and 4N cores via spark-submit --py-files; efficiency =
 # (thr_4N / thr_N) / 4.
 #
-# The sandbox host advertises 32 hyperthreads but sustains ~15
-# effective parallel units under SMT + neighbor load (calibrated
-# below and recorded in the output), so the N→4N pair defaults to
-# 4→16 — both inside real capacity.  Runs are interleaved
-# N,4N,N,4N,… with best-of-R per config to cancel drifting external
-# load.  Results -> BENCH/scaling.json + BENCH/BASELINE.md.
+# Each run is taskset-pinned to exactly N CPUs so "cluster size N"
+# is physically true (an unpinned local[N] consumes well over N
+# cores in JVM/Python side threads).  The host is a shared VM whose
+# effective capacity drifts (calibrated per-rep, recorded in
+# sidecars), so runs are interleaved N,4N,N,4N,… with best-of-R per
+# config.  Results -> BENCH/scaling.json + BENCH/BASELINE.md.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -55,11 +55,17 @@ PYEOF
 }
 
 run() { # $1 = cores, $2 = rep
-  local units_before units_after
+  # taskset pins the WHOLE process tree (JVM + python workers +
+  # shuffle threads) to exactly $1 CPUs — an unpinned local[N]
+  # consumes well over N cores, which silently inflates the small
+  # config and deflates measured scaling. Pinning makes "cluster
+  # size N" physically true, like a real N-core executor.
+  local units_before units_after cpus
+  cpus="0-$(($1 - 1))"
   units_before=$(calib "$1")
   BENCH_MASTER="local[$1]" SPARK_SHUFFLE_PARTITIONS="$1" \
   BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" BENCH_KG_ONLY=1 \
-  spark-submit --master "local[$1]" --driver-memory 48g \
+  taskset -c "$cpus" spark-submit --master "local[$1]" --driver-memory 48g \
     --py-files build/engine.zip \
     bench.py 2>"BENCH/bench_local$1_r$2.log" | tail -1 \
     > "BENCH/bench_local$1_r$2.json"
@@ -137,12 +143,16 @@ identical input (deterministic synthetic pages, seed=42,
 {b1['kg']['docs']} docs), N ∈ {{{n1}, {n2}}} (N vs 4N), interleaved
 ×{reps}, best-of per config.
 
-The container advertises 32 hyperthreads but sustains only
-~{calib.get('effective_units_at_32', '?')} effective parallel units
-(SMT + external neighbor load; full calibration in
-`BENCH/host_calibration.json`), so the N→4N pair is {n1}→{n2} —
-both inside genuine capacity. Interleaving + best-of cancels the
-drifting external load.
+Each run is `taskset`-pinned to exactly N CPUs, so "cluster size N"
+is physically true — unpinned `local[N]` consumes well over N cores
+in JVM + Python-worker side threads, which silently inflates the
+small config. The host is a shared VM (32 vCPUs advertised,
+~{calib.get('effective_units_at_32', '?')} effective units sustained
+under neighbor steal; full calibration in
+`BENCH/host_calibration.json`), so the N→4N pair is {n1}→{n2} — both
+inside genuine capacity — runs are interleaved with best-of-{reps}
+per config, and every rep carries a before/after capacity sidecar
+(`rep_context` in `BENCH/scaling.json`).
 
 ## KG construction throughput (pages → materialized triples)
 
