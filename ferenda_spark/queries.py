@@ -596,6 +596,42 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.45
 """
 
 
+def q_age_rank(spark, sf_dir):
+    """W2 age-compensated ranking (graphanalyze.py:834-894): revenue
+    per order-year divided by the year's age, ranked desc.  GroupBy
+    + window over the year partition."""
+    od = _t(spark, sf_dir, "orders")
+    yearly = (
+        od.groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"))
+    )
+    maxy = yearly.agg(F.max("year")).first()[0]
+    scored = yearly.select(
+        "year",
+        Q.round_portable(
+            F.col("revenue") / (F.lit(int(maxy)) - F.col("year") + 1), 4
+        ).alias("age_adj_revenue"),
+    )
+    w = Window.orderBy(F.desc("age_adj_revenue"), F.asc("year"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+ORACLE_AGE_RANK = """
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1),
+m AS (SELECT MAX(year) AS maxy FROM yearly),
+scored AS (
+  SELECT year,
+         FLOOR(revenue / (m.maxy - year + 1) * 1e4 + 0.5) / 1e4 AS age_adj_revenue
+  FROM yearly, m)
+SELECT year, age_adj_revenue,
+       ROW_NUMBER() OVER (ORDER BY age_adj_revenue DESC, year ASC) AS rnk
+FROM scored
+"""
+
+
 # ========================================================= W3: IR evaluation
 
 def q_map_eval(spark, sf_dir):
@@ -748,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "neardup_threshold": q_neardup_threshold,
         "map_eval": q_map_eval,
+        "age_rank": q_age_rank,
         "kg_triples": q_kg_triples,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
@@ -787,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": ORACLE_ANN,
         "neardup_threshold": ORACLE_NEARDUP,
         "map_eval": ORACLE_MAP_EVAL,
+        "age_rank": ORACLE_AGE_RANK,
         # ann_lsh, kg_* : non-SQL-expressible (md5-derived hyperplanes /
         # FSM segmentation / iterative CC); golden pytest fixtures +
         # recall tests cover them.
