@@ -1,0 +1,94 @@
+"""Scalar function library — ferenda's facet-selector UDF surface
+(SURVEY.md §2.9; facet.py:128-338) as pure column expressions.
+
+Each mirrors one `(row, binding, resource_graph) -> value`
+classmethod of the reference; everything is JVM-side (codegen-able),
+the label/prefix dictionaries ride along as literal maps (broadcast
+by value — they are dimension-sized).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ferenda_spark.config import NS
+
+
+def default_selector(col: Column) -> Column:
+    """facet.py:128-140 identity."""
+    return col
+
+
+def default_identificator(col: Column) -> Column:
+    """facet.py:142-154: lower + space→'-'."""
+    return F.regexp_replace(F.lower(col), " ", "-")
+
+
+def year_of(col: Column) -> Column:
+    """facet.py:156-177: year from a date-ish string, dispatched by
+    length ('%Y-%m-%d…' vs '%Y-%m') like the reference."""
+    return F.when(
+        F.length(col) >= 10, F.year(F.to_timestamp(F.substring(col, 1, 10)))
+    ).otherwise(F.year(F.to_timestamp(F.concat(F.substring(col, 1, 7), F.lit("-01")))))
+
+
+def boolean_value(col: Column) -> Column:
+    """facet.py:179-193: == 'true'."""
+    return col == F.lit("true")
+
+
+def term(col: Column) -> Column:
+    """facet.py:294-311 / util.uri_leaf: final path/fragment segment
+    of a URI."""
+    return F.regexp_extract(col, r"([^/#]+)[/#]?$", 1)
+
+
+def qname(col: Column, ns: dict[str, str] | None = None) -> Column:
+    """facet.py:313-331: URI → prefix:local via the namespace table
+    (config.NS mirrors ferenda util.py:78-93). Unknown namespaces
+    pass through unchanged. Longest-prefix wins."""
+    ns = ns or NS
+    expr = col
+    for prefix, base in sorted(ns.items(), key=lambda kv: -len(kv[1])):
+        expr = F.when(
+            col.startswith(base),
+            F.concat(F.lit(prefix + ":"), F.substring(col, len(base) + 1, 2048)),
+        ).otherwise(expr)
+    return expr
+
+
+def resource_label(col: Column, labels: dict[str, str]) -> Column:
+    """facet.py:234-268 resourcelabel: look up a URI's label in the
+    broadcast common-data map, falling back to the URI leaf."""
+    m = F.create_map(*[F.lit(x) for x in chain.from_iterable(labels.items())]) if labels else None
+    looked = m[col] if m is not None else F.lit(None).cast("string")
+    return F.coalesce(looked, term(col))
+
+
+def sort_resource(col: Column, labels: dict[str, str]) -> Column:
+    """facet.py:270-292: resourcelabel then titlesortkey."""
+    from ferenda_spark.operators.query import title_sortkey
+
+    return title_sortkey(resource_label(col, labels))
+
+
+def wildcard_to_rlike(pattern: str) -> str:
+    """fulltextindex.py:308-334 wildcard rewrite: '*'→'.*', escape
+    regex metacharacters, anchored."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch in r"\.[]{}()^$?+|#":
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "^" + "".join(out) + "$"
+
+
+def g_year_month(col: Column) -> Column:
+    """rfc.py:622-640 / util.gYearMonth: 'yyyy-MM' literal."""
+    return F.date_format(col, "yyyy-MM")

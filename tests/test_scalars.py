@@ -1,0 +1,66 @@
+"""Scalar function library (SURVEY §2.9, facet.py:128-338 mirrors)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.config import NS
+from ferenda_spark.functions import scalars as S
+
+
+def test_scalars(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "Hello World",
+                "2024-03-15T10:00:00",
+                "2024-03",
+                "true",
+                NS["dcterms"] + "title",
+                "https://x.org/res/rfc/1234#S2.1",
+            )
+        ],
+        ["label", "dt_full", "dt_ym", "flag", "pred_uri", "frag_uri"],
+    )
+    r = df.select(
+        S.default_identificator(F.col("label")).alias("ident"),
+        S.year_of(F.col("dt_full")).alias("y1"),
+        S.year_of(F.col("dt_ym")).alias("y2"),
+        S.boolean_value(F.col("flag")).alias("b"),
+        S.term(F.col("pred_uri")).alias("t1"),
+        S.term(F.col("frag_uri")).alias("t2"),
+        S.qname(F.col("pred_uri")).alias("q"),
+        S.resource_label(
+            F.col("pred_uri"), {NS["dcterms"] + "title": "Title label"}
+        ).alias("rl"),
+        S.resource_label(F.col("frag_uri"), {}).alias("rl_fallback"),
+        S.g_year_month(F.to_timestamp(F.col("dt_full"))).alias("gym"),
+    ).first()
+    assert r["ident"] == "hello-world"
+    assert r["y1"] == 2024 and r["y2"] == 2024
+    assert r["b"] is True
+    assert r["t1"] == "title"
+    assert r["t2"] == "S2.1"
+    assert r["q"] == "dcterms:title"
+    assert r["rl"] == "Title label"
+    assert r["rl_fallback"] == "S2.1"
+    assert r["gym"] == "2024-03"
+
+
+def test_qname_longest_prefix_and_passthrough(spark):
+    df = spark.createDataFrame(
+        [("http://www.w3.org/2002/07/owl#sameAs",), ("https://no.such.ns/x",)],
+        ["u"],
+    )
+    got = [r["q"] for r in df.select(S.qname(F.col("u")).alias("q")).collect()]
+    assert got == ["owl:sameAs", "https://no.such.ns/x"]
+
+
+def test_wildcard_rewrite(spark):
+    rx = S.wildcard_to_rlike("foo*bar.baz")
+    df = spark.createDataFrame(
+        [("fooXYZbar.baz",), ("fooXYZbarQbaz",), ("foobar.baz",), ("Afoobar.baz",)],
+        ["s"],
+    )
+    got = [r["s"] for r in df.filter(F.col("s").rlike(rx)).collect()]
+    assert got == ["fooXYZbar.baz", "foobar.baz"]
