@@ -52,7 +52,9 @@ def qname(col: Column, ns: dict[str, str] | None = None) -> Column:
     pass through unchanged. Longest-prefix wins."""
     ns = ns or NS
     expr = col
-    for prefix, base in sorted(ns.items(), key=lambda kv: -len(kv[1])):
+    # build inside-out: shortest prefix innermost, longest prefix ends up
+    # as the outermost WHEN — so the longest matching namespace wins
+    for prefix, base in sorted(ns.items(), key=lambda kv: len(kv[1])):
         expr = F.when(
             col.startswith(base),
             F.concat(F.lit(prefix + ":"), F.substring(col, len(base) + 1, 2048)),

@@ -12,6 +12,8 @@ no external `patch` binary).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -25,38 +27,63 @@ PATCHES_SCHEMA = T.StructType(
 )
 
 
+_HUNK_RE = re.compile(r"@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+
+
 def apply_unified_diff(text: str, diff: str) -> str:
     """Apply a unified diff (as produced by difflib.unified_diff with
     lineterm='') to `text`.  Context lines are verified; a hunk that
     does not apply raises ValueError (mirroring the reference's
-    PatchError path, decorators/patch_if_needed)."""
+    PatchError path, decorators/patch_if_needed).
+
+    Hunk bodies are tracked by the header's source/target lengths, so
+    - a zero-length source range (`@@ -N,0 +M,K @@`) inserts *after*
+      line N (per POSIX diff, not at N-1), and
+    - a fully blank body line (some tools strip the trailing space
+      from a context line for an empty source line) is consumed as a
+      context line instead of silently skipped.
+    """
     lines = text.split("\n")
     out: list[str] = []
     pos = 0  # cursor into `lines`
-    it = iter(diff.split("\n"))
-    for raw in it:
-        if raw.startswith(("---", "+++")) or not raw:
-            continue
-        if raw.startswith("@@"):
-            # @@ -a,b +c,d @@
-            src = raw.split()[1]  # '-a,b'
-            a = int(src[1:].split(",")[0])
-            start = a - 1 if a > 0 else 0
+    src_left = new_left = 0  # body lines remaining in current hunk
+    for raw in diff.split("\n"):
+        if src_left <= 0 and new_left <= 0:
+            # between hunks: only @@ headers matter; ---/+++/index/blank skipped
+            m = _HUNK_RE.match(raw)
+            if m is None:
+                continue
+            a = int(m.group(1))
+            src_left = 1 if m.group(2) is None else int(m.group(2))
+            new_left = 1 if m.group(4) is None else int(m.group(4))
+            # zero source lines: 'N' means insert AFTER line N
+            start = a if src_left == 0 else max(a - 1, 0)
             if start < pos:
                 raise ValueError(f"overlapping hunk at {raw!r}")
             out.extend(lines[pos:start])
             pos = start
-        elif raw.startswith(" "):
-            if pos >= len(lines) or lines[pos] != raw[1:]:
-                raise ValueError(f"context mismatch at line {pos + 1}: {raw[1:]!r}")
-            out.append(lines[pos])
-            pos += 1
+            continue
+        # inside a hunk body
+        if raw.startswith("\\"):  # '\ No newline at end of file'
+            continue
+        if raw.startswith("+"):
+            out.append(raw[1:])
+            new_left -= 1
         elif raw.startswith("-"):
             if pos >= len(lines) or lines[pos] != raw[1:]:
                 raise ValueError(f"delete mismatch at line {pos + 1}: {raw[1:]!r}")
             pos += 1
-        elif raw.startswith("+"):
-            out.append(raw[1:])
+            src_left -= 1
+        elif raw.startswith(" ") or raw == "":
+            want = raw[1:] if raw.startswith(" ") else ""
+            if pos >= len(lines) or lines[pos] != want:
+                raise ValueError(f"context mismatch at line {pos + 1}: {want!r}")
+            out.append(lines[pos])
+            pos += 1
+            src_left -= 1
+            new_left -= 1
+        else:
+            raise ValueError(f"malformed diff line {raw!r}")
     out.extend(lines[pos:])
     return "\n".join(out)
 

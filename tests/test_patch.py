@@ -28,6 +28,33 @@ def test_apply_unified_diff_pure():
         pass
 
 
+def test_apply_unified_diff_zero_context_insertion():
+    # difflib with n=0 emits '@@ -N,0 +M,K @@' pure-insertion hunks:
+    # N means insert AFTER source line N, not before it
+    old = "a\nb\nc\nd\ne"
+    new = "a\nb\nX\nY\nc\nd\ne"
+    diff = "\n".join(
+        difflib.unified_diff(old.split("\n"), new.split("\n"), lineterm="", n=0)
+    )
+    assert "-2,0" in diff  # the case under test
+    assert apply_unified_diff(old, diff) == new
+    # zero-context deletion too
+    new2 = "a\nb\nd\ne"
+    diff2 = "\n".join(
+        difflib.unified_diff(old.split("\n"), new2.split("\n"), lineterm="", n=0)
+    )
+    assert apply_unified_diff(old, diff2) == new2
+
+
+def test_apply_unified_diff_blank_context_line():
+    # some tools strip the trailing space from a context line whose
+    # source line is empty, emitting '' — must be consumed as context
+    old = "a\n\nb\nc"
+    new = "a\n\nb changed\nc"
+    diff = "--- x\n+++ y\n@@ -1,4 +1,4 @@\n a\n\n-b\n+b changed\n c"
+    assert apply_unified_diff(old, diff) == new
+
+
 def test_patch_pages(spark):
     old = "header\nbody typo here\nfooter"
     fixed = "header\nbody fixed here\nfooter"

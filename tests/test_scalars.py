@@ -56,6 +56,17 @@ def test_qname_longest_prefix_and_passthrough(spark):
     assert got == ["owl:sameAs", "https://no.such.ns/x"]
 
 
+def test_qname_nested_prefixes(spark):
+    # dc: is a strict prefix of dcelem: — longest must win
+    ns = {"dc": "http://purl.org/dc/", "dcelem": "http://purl.org/dc/elements/1.1/"}
+    df = spark.createDataFrame(
+        [("http://purl.org/dc/elements/1.1/title",), ("http://purl.org/dc/other",)],
+        ["u"],
+    )
+    got = [r["q"] for r in df.select(S.qname(F.col("u"), ns).alias("q")).collect()]
+    assert got == ["dcelem:title", "dc:other"]
+
+
 def test_wildcard_rewrite(spark):
     rx = S.wildcard_to_rlike("foo*bar.baz")
     df = spark.createDataFrame(
