@@ -54,6 +54,10 @@ class KGResult:
     triples: DataFrame
     canon: DataFrame
     edges: DataFrame
+    # CC input + url directory — exposed so downstream oracles can
+    # independently recompute canon/edges from the same inputs
+    sameas: DataFrame | None = None
+    doc_directory: DataFrame | None = None
 
 
 def _assemble_triples(
@@ -119,7 +123,9 @@ def build_kg(
         doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url"
     )
     edges = relate_edges(triples, doc_directory)
-    return KGResult(docs, segments, mentions, triples, canon, edges)
+    return KGResult(
+        docs, segments, mentions, triples, canon, edges, sameas, doc_directory
+    )
 
 
 def run_pipeline(
@@ -183,4 +189,9 @@ def run_pipeline(
         lambda: relate_edges(triples, doc_directory),
         p("edges"), lineage, run_id, resume,
     )
-    return KGResult(docs, segments, mentions, triples, canon, edges)
+    sameas = triples_raw.filter(F.col("pred") == OWL_SAMEAS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return KGResult(
+        docs, segments, mentions, triples, canon, edges, sameas, doc_directory
+    )

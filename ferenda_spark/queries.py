@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -351,17 +352,23 @@ def q_pagerank_nations(spark, sf_dir):
     return ranks.select("node", Q.round_portable(F.col("rank"), 8).alias("rank_r8"))
 
 
-def _oracle_pagerank(iterations: int = 5, d: float = 0.85) -> str:
-    """Unrolled-iteration PageRank CTE chain mirroring Q.pagerank."""
-    sql = """
-WITH edges AS (
+_NATION_EDGES_SQL = """
   SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation cn ON c_nationkey = cn.n_nationkey
     JOIN nation sn ON s_nationkey = sn.n_nationkey
-  WHERE cn.n_name != sn.n_name),
+  WHERE cn.n_name != sn.n_name"""
+
+
+def _oracle_pagerank(
+    edges_sql: str = _NATION_EDGES_SQL, iterations: int = 5, d: float = 0.85
+) -> str:
+    """Unrolled-iteration PageRank CTE chain mirroring Q.pagerank;
+    `edges_sql` must yield DISTINCT (src, dst) with src != dst."""
+    sql = f"""
+WITH edges AS ({edges_sql}),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
@@ -674,12 +681,42 @@ FROM ng LEFT JOIN sp USING (s_nationkey)
 
 _KG_CACHE: dict = {}
 
+#: KG intermediates are exported here (keyed by corpus size) so the
+#: DuckDB twins can independently recompute skeleton/annotations/
+#: edges/canon/pagerank/hits from the SAME upstream tables.  The
+#: triples themselves are golden-pytest-checked (P/R gate) — the
+#: oracles verify the *relational* logic downstream of emission.
+_KG_EXPORT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "build", "kg_export"
+)
+#: The driver's correctness pass runs at sf0.01 (500 documents), so
+#: the capped corpus there is n=400 — the oracle strings read that
+#: export.  (sf0.1 also caps to 400; only tiny sf0.001 differs.)
+_KG_ORACLE_N = 400
+
+
+def _kg_export(kg, n: int) -> None:
+    root = os.path.join(_KG_EXPORT_ROOT, f"n{int(n)}")
+    kg.triples.select("subj", "pred", "obj", "obj_is_uri").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "triples"))
+    kg.edges.select("src_url", "dst_url", "pred").write.mode("overwrite").parquet(
+        os.path.join(root, "edges")
+    )
+    kg.sameas.select("src", "dst").write.mode("overwrite").parquet(
+        os.path.join(root, "sameas")
+    )
+    kg.doc_directory.select("doc_uri", "url").write.mode("overwrite").parquet(
+        os.path.join(root, "doc_directory")
+    )
+
 
 def _kg(spark, sf_dir, n_cap: int = 400):
     """Build the KG over deterministic synthetic pages; corpus size
     keyed to the sf's documents row count (capped for query-time).
     Memoized per (session, sf_dir) with triples/edges persisted so
-    the several kg_* catalog entries share one build."""
+    the several kg_* catalog entries share one build.  On first build
+    the intermediates are exported for the DuckDB oracle twins."""
     from ferenda_spark.pipeline import build_kg
     from ferenda_spark.sources.pages import synth_pages
 
@@ -690,6 +727,7 @@ def _kg(spark, sf_dir, n_cap: int = 400):
     kg = build_kg(spark, synth_pages(spark, n_docs=int(n), seed=42))
     kg.triples.persist()
     kg.edges.persist()
+    _kg_export(kg, n)
     _KG_CACHE[key] = kg
     return kg
 
@@ -750,6 +788,146 @@ def q_kg_annotations(spark, sf_dir):
     return annotations(_kg(spark, sf_dir).triples).select(
         "doc_uri", "subj", "pred", "obj"
     )
+
+
+# ================================================ KG oracles (DuckDB twins)
+#
+# Each oracle reads the exported intermediates (see _kg_export) and
+# independently recomputes the downstream relational logic in ANSI
+# SQL: anti-join (skeleton), bounded-depth joins (annotations), the
+# directory joins (edges), recursive-CTE connected components
+# (canon), and unrolled-CTE PageRank/HITS.  Reference precedent for
+# set-equality graph checks: testutil.py:58-117 assertEqualGraphs.
+
+def _kg_t(name: str) -> str:
+    return f"read_parquet('{_KG_EXPORT_ROOT}/n{_KG_ORACLE_N}/{name}/*.parquet')"
+
+
+def _oracle_kg_skeleton() -> str:
+    return f"""
+WITH t AS (SELECT subj, obj, obj_is_uri FROM {_kg_t("triples")}),
+objs AS (SELECT DISTINCT obj AS uri FROM t WHERE obj_is_uri),
+subjs AS (SELECT DISTINCT subj AS uri FROM t)
+SELECT uri FROM objs o
+WHERE NOT EXISTS (SELECT 1 FROM subjs s WHERE s.uri = o.uri)
+"""
+
+
+def _oracle_kg_edges() -> str:
+    from ferenda_spark.config import OWL_SAMEAS, RDF_TYPE
+
+    return f"""
+WITH t AS (SELECT subj, pred, obj, obj_is_uri FROM {_kg_t("triples")}),
+d AS (SELECT doc_uri, url FROM {_kg_t("doc_directory")}),
+refs AS (
+  SELECT DISTINCT split_part(subj, '#', 1) AS src_uri,
+                  split_part(obj, '#', 1) AS dst_uri, pred
+  FROM t
+  WHERE obj_is_uri AND pred NOT IN ('{RDF_TYPE}', '{OWL_SAMEAS}')
+    AND split_part(subj, '#', 1) != split_part(obj, '#', 1))
+SELECT DISTINCT s.url AS src_url, dd.url AS dst_url, refs.pred
+FROM refs JOIN d s ON refs.src_uri = s.doc_uri
+          JOIN d dd ON refs.dst_uri = dd.doc_uri
+"""
+
+
+def _oracle_kg_canon() -> str:
+    return f"""
+WITH RECURSIVE sa AS (SELECT src, dst FROM {_kg_t("sameas")}),
+e AS (SELECT src AS u, dst AS v FROM sa WHERE src != dst
+      UNION SELECT dst, src FROM sa WHERE src != dst),
+n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach(u, v) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u)
+SELECT u AS uri, MIN(v) AS canon_uri FROM reach GROUP BY u
+"""
+
+
+def _oracle_kg_annotations() -> str:
+    from ferenda_spark.config import DCT
+
+    ipo, refp = DCT + "isPartOf", DCT + "references"
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_kg_t("triples")}),
+ip AS (SELECT subj AS part, obj AS parent FROM t WHERE pred = '{ipo}'),
+c1 AS (SELECT part, parent AS root FROM ip),
+c2 AS (SELECT a.part, b.parent AS root FROM c1 a JOIN ip b ON a.root = b.part),
+c3 AS (SELECT a.part, b.parent AS root FROM c2 a JOIN ip b ON a.root = b.part),
+closure AS (
+  SELECT DISTINCT part, root
+  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+  WHERE NOT contains(root, '#')),
+selfr AS (SELECT DISTINCT split_part(subj, '#', 1) AS part,
+                          split_part(subj, '#', 1) AS root FROM t),
+member AS (SELECT DISTINCT part, root
+           FROM (SELECT * FROM closure UNION ALL SELECT * FROM selfr)),
+own AS (SELECT m.root AS doc_uri, t.subj, t.pred, t.obj
+        FROM t JOIN member m ON t.subj = m.part),
+inb AS (SELECT m.root AS doc_uri, t.subj, t.pred, t.obj
+        FROM t JOIN member m ON t.obj = m.part WHERE t.pred = '{refp}')
+SELECT DISTINCT doc_uri, subj, pred, obj
+FROM (SELECT * FROM own UNION ALL SELECT * FROM inb)
+"""
+
+
+_KG_EDGES_SQL_FRAG = (
+    "SELECT DISTINCT src_url AS src, dst_url AS dst FROM {t} WHERE src_url != dst_url"
+)
+
+
+def _oracle_kg_pagerank() -> str:
+    return _oracle_pagerank(_KG_EDGES_SQL_FRAG.format(t=_kg_t("edges")))
+
+
+def _oracle_hits(edges_sql: str, iterations: int = 5) -> str:
+    """Unrolled-iteration HITS CTE chain mirroring Q.hits: per
+    iteration auth = Σ hub over in-edges then L2-normalize, hub =
+    Σ auth over out-edges then L2-normalize; zero norms fall back
+    to 1.0 exactly like the Spark `or 1.0`."""
+    # every state CTE is MATERIALIZED: the L2 norms make each step
+    # reference its predecessor more than once, and DuckDB's default
+    # CTE inlining would expand the 5-iteration chain exponentially
+    sql = f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS MATERIALIZED (SELECT node, 1.0 AS auth, 1.0 AS hub FROM nodes)
+"""
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+ar{i} AS MATERIALIZED (SELECT e.dst AS node, SUM({prev}.hub) AS v
+         FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst),
+af{i} AS MATERIALIZED (SELECT nodes.node, COALESCE(ar{i}.v, 0.0) AS auth,
+                {prev}.hub AS hub
+         FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.node
+         JOIN {prev} ON nodes.node = {prev}.node),
+an{i} AS MATERIALIZED (SELECT CASE WHEN SUM(auth * auth) = 0 THEN 1.0
+                      ELSE SQRT(SUM(auth * auth)) END AS nrm FROM af{i}),
+sa{i} AS MATERIALIZED (SELECT node, auth / an{i}.nrm AS auth, hub
+         FROM af{i}, an{i}),
+hr{i} AS MATERIALIZED (SELECT e.src AS node, SUM(sa{i}.auth) AS v
+         FROM sa{i} JOIN e ON sa{i}.node = e.dst GROUP BY e.src),
+hf{i} AS MATERIALIZED (SELECT nodes.node, sa{i}.auth AS auth,
+                COALESCE(hr{i}.v, 0.0) AS hub
+         FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.node
+         JOIN sa{i} ON nodes.node = sa{i}.node),
+hn{i} AS MATERIALIZED (SELECT CASE WHEN SUM(hub * hub) = 0 THEN 1.0
+                      ELSE SQRT(SUM(hub * hub)) END AS nrm FROM hf{i}),
+s{i} AS MATERIALIZED (SELECT node, auth, hub / hn{i}.nrm AS hub
+         FROM hf{i}, hn{i})
+"""
+        prev = f"s{i}"
+    sql += (
+        f"SELECT node, FLOOR(auth * 1e8 + 0.5) / 1e8 AS auth_r8, "
+        f"FLOOR(hub * 1e8 + 0.5) / 1e8 AS hub_r8 FROM {prev}"
+    )
+    return sql
+
+
+def _oracle_kg_hits() -> str:
+    return _oracle_hits(_KG_EDGES_SQL_FRAG.format(t=_kg_t("edges")))
 
 
 # =============================================================== the catalog
@@ -825,7 +1003,16 @@ def oracle_sql() -> dict[str, str]:
         "neardup_threshold": ORACLE_NEARDUP,
         "map_eval": ORACLE_MAP_EVAL,
         "age_rank": ORACLE_AGE_RANK,
-        # ann_lsh, kg_* : non-SQL-expressible (md5-derived hyperplanes /
-        # FSM segmentation / iterative CC); golden pytest fixtures +
-        # recall tests cover them.
+        "kg_skeleton": _oracle_kg_skeleton(),
+        "kg_edges": _oracle_kg_edges(),
+        "kg_canon": _oracle_kg_canon(),
+        "kg_annotations": _oracle_kg_annotations(),
+        "kg_pagerank": _oracle_kg_pagerank(),
+        "kg_hits": _oracle_kg_hits(),
+        # ann_lsh, kg_triples: non-SQL-expressible (md5-derived
+        # hyperplanes / FSM segmentation); golden pytest fixtures +
+        # recall tests cover them.  The kg_* oracles above read the
+        # exported seed-42 intermediates (written by the Spark side
+        # of any kg_* query) and recompute the relational logic
+        # independently in DuckDB.
     }
