@@ -104,10 +104,12 @@ def rewrite_triples(triples: DataFrame, canon_map: DataFrame) -> DataFrame:
     would collapse into self-loops, so they are dropped — the
     canon_map table itself is the canonical record of equivalence.
 
-    Two left joins + coalesce; canon_map is usually small relative to
-    triples (only duplicated URIs appear), so Catalyst broadcasts it —
-    if it ever grows past the threshold this degrades gracefully to a
-    shuffle join on already-bucketed subj."""
+    Two left joins + coalesce; canon_map is usually small relative
+    to triples (only duplicated URIs appear), so AQE broadcasts it
+    when it fits — no explicit hint, because a forced broadcast
+    would OOM when the duplicate-URI population grows; past the
+    threshold this degrades gracefully to a shuffle join on
+    already-bucketed subj."""
     from ferenda_spark.config import OWL_SAMEAS
 
     triples = triples.filter(F.col("pred") != OWL_SAMEAS)
@@ -118,8 +120,8 @@ def rewrite_triples(triples: DataFrame, canon_map: DataFrame) -> DataFrame:
         F.col("uri").alias("obj"), F.col("canon_uri").alias("_co")
     )
     return (
-        triples.join(F.broadcast(cm_s), "subj", "left")
-        .join(F.broadcast(cm_o), "obj", "left")
+        triples.join(cm_s, "subj", "left")
+        .join(cm_o, "obj", "left")
         .select(
             F.coalesce(F.col("_cs"), F.col("subj")).alias("subj"),
             F.col("pred"),

@@ -6,12 +6,16 @@ web-corpus dedup family, built Spark-first:
 
 - exact: hash-groupBy on normalized text.
 - MinHash + LSH banding: shingle → per-seed min-hash → band buckets
-  → candidate pairs via a bucket self-join.  All hashing is md5-hex
-  (deterministic, identical in DuckDB for the oracle checks); at
-  production scale swap the hex strings for xxhash64 ints — same
-  plan shape, ~4× less shuffle width.
+  → candidate pairs via a bucket self-join.  Each shingle is md5'd
+  ONCE into a 28-bit integer; the per-seed hashes are affine
+  transforms of that base mod a Mersenne prime — integers all the
+  way (narrow shuffle rows, one hash evaluation per shingle instead
+  of one per (shingle, seed)), and the identical arithmetic runs in
+  DuckDB for the oracle twin.
 - SimHash: 32-bit signature from per-token md5 high-bits.
-- n-gram Jaccard: exact set overlap via a shingle equi-join.
+- n-gram Jaccard: exact set overlap via a shingle equi-join, with an
+  optional document-frequency cap that drops boilerplate shingles
+  before the join (the quadratic-blowup guard at corpus scale).
 
 Scale notes (100 TB): the shingle explode is the wide step — it is a
 map-only stage feeding a groupBy with partial aggregation, so it
@@ -51,36 +55,81 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per doc: (id, shingle).
 
-    Built-in array ops only (split → transform(sequence) →
-    explode) — stays inside whole-stage codegen, no Python.
+    Normalization + tokenization stay JVM-side (codegen'd split of
+    the normalized text — identical strings to the DuckDB twin); the
+    sliding-window join runs in an Arrow-batched mapInPandas.  The
+    pure-column alternative (transform(sequence) + slice +
+    concat_ws) is measurably ~2.5× slower because Spark evaluates
+    higher-order functions interpreted, element by element — see
+    BENCH notes; this is the measured-faster path, not a guess.
     """
+    import pandas as pd
+    from pyspark.sql import types as T
+
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    src = df.select(F.col(id_col).alias("id"), toks.alias("w")).filter(
+        F.size("w") >= k
     )
-    return (
-        df.filter(F.size(toks) >= k)
-        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("shingle", T.StringType())]
     )
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            out: list = []
+            for i, w in zip(pdf["id"], pdf["w"]):
+                seen = {" ".join(w[j : j + k]) for j in range(len(w) - k + 1)}
+                out.extend(seen)
+                ids.extend([i] * len(seen))
+            yield pd.DataFrame({"id": ids, "shingle": out})
+
+    return src.mapInPandas(run, schema)
+
+
+#: Mersenne prime + fixed affine constants for the minhash family
+#: h_i(x) = (A_i·base(x) + B_i) mod P.  base() is 28 bits and the
+#: constants are < 2^31, so A·base + B < 2^59 — no 64-bit overflow
+#: on either engine (Spark runs ANSI mode; overflow would throw).
+MINHASH_PRIME = 2147483647
+MINHASH_AB = (
+    (1103515245, 12345),
+    (1140671485, 12820163),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (214013, 2531011),
+    (1220703125, 7261067),
+    (69069, 1234567),
+)
+
+
+def shingle_base_hash(col):
+    """28-bit integer base hash: first 7 hex digits of md5, parsed.
+    Mirrored digit-by-digit in the DuckDB oracle (strpos arithmetic),
+    so both engines derive the identical integer."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """Per (id, seed): lexicographic-min md5('seed:'||shingle).
+    """Per (id, seed): min over shingles of the seed's affine hash.
 
-    One explode by n_hashes then a partially-aggregated groupBy —
-    shuffle rows = |docs| × n_hashes, independent of shingle count.
-    Output (id, seed, minhash).
+    md5 runs ONCE per shingle; the n_hashes variants are integer
+    multiply-adds.  posexplode feeds a partially-aggregated groupBy —
+    shuffle rows = |docs| × n_hashes, independent of shingle count,
+    each row a long instead of a 32-byte hex string.
+    Output (id, seed, minhash: long).
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    base = shingle_base_hash(F.col("shingle"))
+    hs = F.array(
+        *[
+            (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME)
+            for a, b in MINHASH_AB[:n_hashes]
+        ]
+    )
     return (
-        shingles.select("id", "shingle", seeds)
-        .select(
-            "id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle")).alias("h"),
-        )
-        .groupBy("id", "seed")
+        shingles.select("id", F.posexplode(hs).alias("seed", "h"))
+        .groupBy("id", F.col("seed").cast("int").alias("seed"))
         .agg(F.min("h").alias("minhash"))
     )
 
@@ -96,7 +145,15 @@ def lsh_candidate_pairs(
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).minhash)).alias("bucket"))
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda x: x.minhash.cast("string"),
+                ),
+            ).alias("bucket")
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -112,16 +169,34 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(shingles: DataFrame, threshold: float = 0.1) -> DataFrame:
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float = 0.1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle:
     |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|.
     Output (id_a, id_b, jaccard) above threshold.
 
-    The equi-join on shingle is the scale risk: boilerplate shingles
-    are hot keys. Production guard: drop shingles with document
-    frequency above a cap before joining (they only ever connect
-    near-everything); here the synthetic vocabulary is small enough
-    to skip the cap."""
+    The equi-join on shingle is the scale risk: a boilerplate shingle
+    with document frequency d contributes d² join rows.  When
+    `max_doc_freq` is set, shingles above the cap are dropped BEFORE
+    the join (one groupBy + anti-join); sizes are computed on the
+    capped sets so the jaccard stays a true set statistic of the
+    retained shingles.  The input is persisted — it feeds three
+    consumers (sizes + both join sides) and would otherwise
+    recompute the normalize/explode chain three times."""
+    from pyspark.storagelevel import StorageLevel
+
+    if max_doc_freq is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        shingles = shingles.join(hot, "shingle", "left_anti")
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -168,22 +168,26 @@ def lsh_topk(
     query's bucket in ≥1 of `tables` hash tables; exact cosine
     re-rank inside the candidate set.  Same output contract as
     brute_force_topk (ranks may differ — that's the approximation;
-    recall is asserted in tests, not here)."""
+    recall is asserted in tests, not here).
+
+    Plan shape: bucket assignment computes all tables' sign patterns
+    in ONE BLAS matmul per Arrow batch (numpy-vectorized, no per-row
+    Python), emitting ONLY (id, bucket) rows — vectors are never
+    duplicated through the ×tables explode; the candidate id pairs,
+    deduped while still narrow, join the vectors back for the exact
+    re-rank (probe side broadcast)."""
     import numpy as np
     import pandas as pd
     import pyspark.sql.types as T
 
     tbls = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(tables)]
     planes = np.asarray(tbls, dtype=np.float64)  # (tables, n_planes, dim)
+    pow2 = 1 << np.arange(n_planes - 1, -1, -1)
 
-    def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        # all `tables` sign-patterns per vector in one BLAS matmul
-        # per Arrow batch — the expression equivalent evaluates
-        # tables × n_planes array folds per row
+    def bucket_ids(df: DataFrame, out_id: str) -> DataFrame:
         schema = T.StructType(
             [
-                T.StructField(idname, T.LongType()),
-                T.StructField(vecname, T.ArrayType(T.DoubleType())),
+                T.StructField(out_id, T.LongType()),
                 T.StructField("bucket", T.StringType()),
             ]
         )
@@ -193,34 +197,38 @@ def lsh_topk(
                 if not len(pdf):
                     continue
                 mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                bits = (
-                    np.einsum("bd,tpd->btp", mat, planes) >= 0
-                )  # (batch, tables, planes)
-                ids, vecs, buckets = [], [], []
-                for i in range(len(pdf)):
-                    for t in range(tables):
-                        ids.append(pdf["id"].iloc[i])
-                        vecs.append(pdf["v"].iloc[i])
-                        buckets.append(
-                            f"{t}:" + "".join("1" if b else "0" for b in bits[i, t])
-                        )
-                yield pd.DataFrame({idname: ids, vecname: vecs, "bucket": buckets})
+                bits = np.einsum("bd,tpd->btp", mat, planes) >= 0
+                codes = (bits * pow2).sum(axis=2)  # (batch, tables) ints
+                ids = np.repeat(pdf["id"].to_numpy(dtype=np.int64), tables)
+                tidx = np.tile(np.arange(tables), len(pdf))
+                bucket = np.char.add(
+                    np.char.add(tidx.astype("U2"), ":"),
+                    codes.ravel().astype(f"U{n_planes + 1}"),
+                )
+                yield pd.DataFrame({out_id: ids, "bucket": bucket})
 
         src = df.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
         )
         return src.mapInPandas(run, schema=schema)
 
-    c = bucketed(corpus, "neighbor_id", "cv")
-    q = bucketed(queries, "query_id", "qv")
     cand = (
-        q.join(c, "bucket")
+        bucket_ids(queries, "query_id")
+        .join(bucket_ids(corpus, "neighbor_id"), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -236,13 +244,12 @@ def threshold_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold, Arrow-vectorized: the full
-    (id, vec) matrix is broadcast; each Arrow batch scores against it
-    with one BLAS matmul and emits only pairs over threshold with
-    id_a < id_b.  O(N²·d) FLOPs but O(pairs-over-threshold) shuffle.
-
-    Viable while N×d doubles fit an executor (~10⁶ × 64 = 0.5 GB);
-    beyond that, LSH-prefilter with `neardup_pairs` below."""
+    """TEST-ONLY exact baseline: collects the full (id, vec) matrix
+    to the driver and broadcasts it; each Arrow batch scores against
+    it with one BLAS matmul.  The driver collect bounds this to
+    corpora whose matrix fits driver memory — the production paths
+    are `threshold_pairs_blocked` (exact, no collect) and
+    `neardup_pairs` (LSH prefilter); the catalog uses the former."""
     import numpy as np
     import pandas as pd
     import pyspark.sql.types as T
@@ -276,6 +283,84 @@ def threshold_pairs_exact(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
     return src.mapInPandas(score, schema=schema)
+
+
+def threshold_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver collect:
+    distributed block-matrix self-join.  Vectors hash into n_blocks
+    blocks; every unordered block pair (i ≤ j) is one applyInPandas
+    group receiving both blocks' vectors and scoring them with one
+    BLAS matmul.  One shuffle replicates each vector n_blocks times;
+    per-task memory is O(2N/n_blocks · d) doubles — pick n_blocks so
+    a block pair fits an executor, independent of total corpus size.
+    FLOPs stay the inherent O(N²·d) of the exact semantics, spread
+    over n_blocks(n_blocks+1)/2 tasks.  Output (id_a, id_b) with
+    id_a < id_b, each pair exactly once (its two blocks meet in
+    exactly one group)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(kk)).alias("i"),
+                F.greatest(F.col("blk"), F.lit(kk)).alias("j"),
+            )
+            for kk in range(n_blocks)
+        ]
+    )
+    exploded = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            blk.alias("blk"),
+        )
+        .select("id", "v", "blk", F.explode(pair_structs).alias("p"))
+        .select("id", "v", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+    )
+
+    schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    )
+
+    def score(key, pdf):
+        i, j = key
+        a = pdf[pdf["blk"] == i]
+        aids = a["id"].to_numpy(dtype=np.int64)
+        if not len(aids):
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        amat = np.stack([np.asarray(v, dtype=np.float64) for v in a["v"]])
+        anrm = np.linalg.norm(amat, axis=1)
+        if i == j:
+            bids, bmat, bnrm = aids, amat, anrm
+        else:
+            b = pdf[pdf["blk"] == j]
+            bids = b["id"].to_numpy(dtype=np.int64)
+            if not len(bids):
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in b["v"]])
+            bnrm = np.linalg.norm(bmat, axis=1)
+        sims = (amat @ bmat.T) / (anrm[:, None] * bnrm[None, :])
+        hit = sims >= threshold
+        if i == j:
+            ai, bj = np.nonzero(hit & (aids[:, None] < bids[None, :]))
+            lo, hi = aids[ai], bids[bj]
+        else:
+            # cross-block: each unordered pair appears once; orient by id
+            ai, bj = np.nonzero(hit)
+            x, y = aids[ai], bids[bj]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return exploded.groupBy("i", "j").applyInPandas(score, schema)
 
 
 def neardup_pairs(

@@ -415,19 +415,28 @@ sh AS (SELECT DISTINCT doc_id,
 """
 
 
+#: document-frequency cap for the jaccard shingle join (measured
+#: corpus max df is 25 at sf0.1 — the cap is the scale guard, not a
+#: result filter at these sfs; both engines apply it identically)
+JACCARD_MAX_DF = 50
+
+
 def q_dedup_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs ≥ 0.1 over documents."""
+    """Exact 3-gram Jaccard pairs ≥ 0.1 over documents, with the
+    boilerplate document-frequency cap applied before the join."""
     sh = D.word_shingles(_t(spark, sf_dir, "documents"), "text", "doc_id", k=3)
-    return D.jaccard_pairs(sh, 0.1).select(
+    return D.jaccard_pairs(sh, 0.1, max_doc_freq=JACCARD_MAX_DF).select(
         "id_a", "id_b", Q.round_portable(F.col("jaccard"), 6).alias("jaccard_r6")
     )
 
 
 ORACLE_DEDUP_JACCARD = f"""
 WITH {_SQL_SHINGLES},
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {JACCARD_MAX_DF}),
+shc AS (SELECT doc_id, sh.s FROM sh JOIN kept ON sh.s = kept.s),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT id_a, id_b,
        FLOOR(CAST(c AS DOUBLE) / (s1.n + s2.n - c) * 1e6 + 0.5) / 1e6 AS jaccard_r6
 FROM inter JOIN sz s1 ON id_a = s1.doc_id JOIN sz s2 ON id_b = s2.doc_id
@@ -442,18 +451,37 @@ def q_dedup_minhash(spark, sf_dir):
     return D.lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
 
 
-ORACLE_DEDUP_MINHASH = f"""
+def _sql_minhash_base(h7: str) -> str:
+    """Hex-digit arithmetic twin of dedup.shingle_base_hash: parse a
+    7-char lowercase hex string into its integer value."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h7}, {k + 1}, 1)) - 1) * {16 ** (6 - k)}"
+        for k in range(7)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _oracle_dedup_minhash() -> str:
+    seed_rows = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(D.MINHASH_AB)
+    )
+    return f"""
 WITH {_SQL_SHINGLES},
-seeds AS (SELECT CAST(i AS INT) AS seed FROM unnest(range(0, 8)) AS t(i)),
-mh AS (SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
-       FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+hb AS (SELECT doc_id, {_sql_minhash_base("substr(md5(s), 1, 7)")} AS base FROM sh),
+seeds(seed, a, b) AS (SELECT * FROM (VALUES {seed_rows})),
+mh AS (SELECT doc_id, seed, MIN((a * base + b) % {D.MINHASH_PRIME}) AS minhash
+       FROM hb CROSS JOIN seeds GROUP BY 1, 2),
 banded AS (SELECT doc_id, (seed // 2) AS band,
-                  md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+                  string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS bucket
            FROM mh GROUP BY 1, 2)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+
+ORACLE_DEDUP_MINHASH = _oracle_dedup_minhash()
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -589,10 +617,10 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_neardup_threshold(spark, sf_dir):
-    """Exact all-pairs cosine ≥ 0.45, BLAS-vectorized via
-    mapInPandas (the LSH-bucketed variant is the >memory scale
-    path, similarity.neardup_pairs)."""
-    return S.threshold_pairs_exact(_t(spark, sf_dir, "embeddings"), 0.45)
+    """Exact all-pairs cosine ≥ 0.45 via the distributed
+    block-matrix self-join (no driver collect; see
+    similarity.threshold_pairs_blocked)."""
+    return S.threshold_pairs_blocked(_t(spark, sf_dir, "embeddings"), 0.45)
 
 
 ORACLE_NEARDUP = """
@@ -612,11 +640,12 @@ def q_age_rank(spark, sf_dir):
         od.groupBy(F.year("o_orderdate").cast("long").alias("year"))
         .agg(F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"))
     )
-    maxy = yearly.agg(F.max("year")).first()[0]
-    scored = yearly.select(
+    # scalar max(year) stays lazy: 1-row crossJoin, no driver round-trip
+    maxy = yearly.agg(F.max("year").alias("maxy"))
+    scored = yearly.crossJoin(maxy).select(
         "year",
         Q.round_portable(
-            F.col("revenue") / (F.lit(int(maxy)) - F.col("year") + 1), 4
+            F.col("revenue") / (F.col("maxy") - F.col("year") + 1), 4
         ).alias("age_adj_revenue"),
     )
     w = Window.orderBy(F.desc("age_adj_revenue"), F.asc("year"))

@@ -103,6 +103,21 @@ def test_threshold_pairs_exact_symmetric(spark, embeddings):
     assert len(got) == len(pairs)  # no dup emission
 
 
+def test_threshold_pairs_blocked_matches_exact(spark, embeddings):
+    """The distributed block-matrix path must reproduce the exact
+    all-pairs result (same semantics, no driver collect)."""
+    exact = {
+        (r.id_a, r.id_b) for r in S.threshold_pairs_exact(embeddings, 0.40).collect()
+    }
+    blocked = [
+        (r.id_a, r.id_b)
+        for r in S.threshold_pairs_blocked(embeddings, 0.40, n_blocks=4).collect()
+    ]
+    assert len(blocked) == len(set(blocked))  # each pair exactly once
+    assert set(blocked) == exact
+    assert all(a < b for a, b in blocked)
+
+
 def test_multimodal_features(spark):
     media = spark.createDataFrame(
         [
