@@ -1,0 +1,172 @@
+"""S7 fulltext search layer: typed filters, freetext AND-match,
+boosts, pagination over a search-docs projection.
+
+Reference semantics (fulltextindex.py:829-1013 _query_payload):
+- field params become term filters; values containing '*' become
+  anchored regexes (fulltextindex.py:848-853 escapes '.'/'#' and
+  rewrites '*'→'.*' — scalars.wildcard_to_rlike is the superset
+  rewrite used here);
+- SearchModifier objects (fulltextindex.py:308-335 Less/More/
+  Between) become range filters with EXCLUSIVE bounds ({"lt": max},
+  {"gt": min} — fulltextindex.py:858-868);
+- the wsgiapp layer types raw parameters (wsgiapp.py:500-526):
+  'min-X'/'max-X' → More/Less, 'year-X=Y' → Between(Y-1-12-31,
+  Y+1-01-01);
+- a freetext q is an AND-match over the default fields
+  (fulltextindex.py:873-877 default_operator="and"): every token
+  must occur; relevance here is the summed token occurrence count
+  (the portable restatement of ES TF scoring — deterministic and
+  reproducible in the DuckDB oracle, unlike BM25);
+- boost_repos multiplies the score for hits of the named repo
+  (fulltextindex.py:920-930 function_score weights);
+- rows failing the AND-match are excluded (the effect of the
+  min_score clause, fulltextindex.py:963-975);
+- pagination is from/size over the rank order
+  (fulltextindex.py:835-836).
+
+Everything is column expressions over one scan; the only window is
+the global rank (top-(pagenum·pagelen) semantics — at scale prefix
+with a per-partition top-k, see query.paginate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ferenda_spark.functions.scalars import wildcard_to_rlike
+
+
+@dataclass(frozen=True)
+class Less:
+    """fulltextindex.py:314-320 — field < max (exclusive)."""
+
+    max: object
+
+
+@dataclass(frozen=True)
+class More:
+    """fulltextindex.py:321-327 — field > min (exclusive)."""
+
+    min: object
+
+
+@dataclass(frozen=True)
+class Between:
+    """fulltextindex.py:328-335 — min < field < max (exclusive)."""
+
+    min: object
+    max: object
+
+
+def year_modifier(year: int) -> Between:
+    """wsgiapp.py:520-525: 'year-X=2013' → Between(2012-12-31,
+    2014-01-01) — the reference's year-bucket range."""
+    return Between(date(year - 1, 12, 31), date(year + 1, 1, 1))
+
+
+def _occurrences(field_col, token: str):
+    """Substring occurrence count of `token` in a lowercased field —
+    (len(t) - len(replace(t, tok)))/len(tok); exact integer ratio,
+    identical arithmetic in the DuckDB twin."""
+    t = F.lower(field_col)
+    return (F.length(t) - F.length(F.replace(t, F.lit(token)))) / F.lit(len(token))
+
+
+def apply_filters(df: DataFrame, filters: dict) -> DataFrame:
+    """Term / wildcard / range filters (fulltextindex.py:841-868)."""
+    for col, spec in (filters or {}).items():
+        c = F.col(col)
+        if isinstance(spec, Less):
+            df = df.filter(c < F.lit(spec.max))
+        elif isinstance(spec, More):
+            df = df.filter(c > F.lit(spec.min))
+        elif isinstance(spec, Between):
+            df = df.filter((c > F.lit(spec.min)) & (c < F.lit(spec.max)))
+        elif isinstance(spec, str) and "*" in spec:
+            df = df.filter(c.rlike(wildcard_to_rlike(spec)))
+        else:
+            df = df.filter(c == F.lit(spec))
+    return df
+
+
+def search(
+    docs: DataFrame,
+    filters: dict | None = None,
+    q: str | None = None,
+    q_fields: tuple[str, ...] = ("text",),
+    boosts: list[tuple[str, float]] | None = None,
+    boost_col: str = "repo",
+    id_col: str = "doc_id",
+    pagenum: int = 1,
+    pagelen: int = 10,
+) -> DataFrame:
+    """Compose filters + freetext AND-match + boosts + pagination.
+
+    Output (id, score, rn) for one result page, ranked by score desc
+    with the id as the deterministic tie-break.
+    """
+    df = apply_filters(docs, filters)
+
+    score = F.lit(1.0)
+    if q:
+        toks = [t for t in q.lower().split() if t]
+        occ_cols = []
+        for tok in toks:
+            occ = sum(
+                (_occurrences(F.col(fld), tok) for fld in q_fields[1:]),
+                _occurrences(F.col(q_fields[0]), tok),
+            )
+            occ_cols.append(occ)
+        # AND semantics: every token somewhere in the default fields
+        for occ in occ_cols:
+            df = df.filter(occ >= 1)
+        score = occ_cols[0]
+        for occ in occ_cols[1:]:
+            score = score + occ
+
+    if boosts:
+        mult = F.lit(1.0)
+        for value, weight in boosts:
+            mult = F.when(F.col(boost_col) == value, F.lit(float(weight))).otherwise(
+                mult
+            )
+        score = score * mult
+
+    ranked = df.select(F.col(id_col).alias("id"), score.cast("double").alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    lo, hi = (pagenum - 1) * pagelen, pagenum * pagelen
+    return (
+        ranked.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    )
+
+
+def search_docs(
+    doc_rows: DataFrame,
+    triples: DataFrame,
+    facet_preds: dict[str, str],
+    uri_col: str = "doc_uri",
+) -> DataFrame:
+    """The S7 sink projection: one row per document joined with its
+    facet predicate values pivoted to typed columns (the reference
+    indexes each doc's facet fields at relate time,
+    documentrepository.py:2155-2192 relate_fulltext).
+
+    `facet_preds` maps output column name → predicate URI; the pivot
+    is a stable-schema conditional aggregation (no driver-side
+    distinct scan), min() as the deterministic pick for multi-valued
+    predicates."""
+    aggs = [
+        F.min(F.when(F.col("pred") == pred, F.col("obj"))).alias(name)
+        for name, pred in facet_preds.items()
+    ]
+    facets = (
+        triples.filter(F.col("pred").isin(list(facet_preds.values())))
+        .groupBy(F.col("subj").alias(uri_col))
+        .agg(*aggs)
+    )
+    return doc_rows.join(facets, uri_col, "left")

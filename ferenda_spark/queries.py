@@ -668,6 +668,46 @@ FROM scored
 """
 
 
+# ====================================================== S7: fulltext search
+
+def q_search_filters(spark, sf_dir):
+    """S7 search query layer (fulltextindex.py:829-1013): term +
+    wildcard + exclusive-range filters, freetext AND-match with
+    summed-occurrence scoring, repo boost, one result page."""
+    from ferenda_spark.operators import search as SR
+
+    return SR.search(
+        _t(spark, sf_dir, "documents"),
+        filters={"lang": "en", "source": "src1*", "n_chars": SR.More(100)},
+        q="table row",
+        q_fields=("text",),
+        boosts=[("src12", 2.0)],
+        boost_col="source",
+        id_col="doc_id",
+        pagenum=1,
+        pagelen=20,
+    )
+
+
+ORACLE_SEARCH = """
+WITH f AS (
+  SELECT doc_id, lower(text) AS t, source FROM documents
+  WHERE lang = 'en' AND regexp_matches(source, '^src1.*$') AND n_chars > 100),
+occ AS (
+  SELECT doc_id, source,
+         (length(t) - length(replace(t, 'table', ''))) / 5 AS c1,
+         (length(t) - length(replace(t, 'row', ''))) / 3 AS c2
+  FROM f),
+m AS (SELECT doc_id,
+             CAST((c1 + c2) * (CASE WHEN source = 'src12' THEN 2.0 ELSE 1.0 END)
+                  AS DOUBLE) AS score
+      FROM occ WHERE c1 >= 1 AND c2 >= 1),
+r AS (SELECT doc_id AS id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM m)
+SELECT id, score, rn FROM r WHERE rn <= 20
+"""
+
+
 # ========================================================= W3: IR evaluation
 
 def q_map_eval(spark, sf_dir):
@@ -819,6 +859,41 @@ def q_kg_annotations(spark, sf_dir):
     )
 
 
+#: Titleset literals for the keyword query — deterministic slugs
+#: from the seed-42 corpus plus one unseen title per set, identical
+#: in the Spark query and the DuckDB twin.
+KEYWORD_MEDIAWIKI_TITLES = [
+    "internet-engineering-task-force",
+    "world-wide-web-consortium",
+    "memorandum-drafting-group",  # not a publisher: added with n_refs 0
+]
+KEYWORD_WIKIPEDIA_TITLES = [
+    "internet-architecture-board",
+    "world-wide-web-consortium",
+    "unknown-society",  # flag-only semantics: never creates a term
+]
+
+
+def q_keyword_terms(spark, sf_dir):
+    """C10 keyword aggregation (keyword.py:107-230) over the KG:
+    dcterms:publisher plays the subject role (no rdfs:label rows →
+    the URI-leaf OPTIONAL fallback path), mediawiki titleset adds
+    terms, wikipedia titleset flags existing ones."""
+    from ferenda_spark.config import DCT, NS
+    from ferenda_spark.operators.keyword import keyword_terms
+
+    t = _kg(spark, sf_dir).triples
+    mw = spark.createDataFrame([(x,) for x in KEYWORD_MEDIAWIKI_TITLES], ["title"])
+    wp = spark.createDataFrame([(x,) for x in KEYWORD_WIKIPEDIA_TITLES], ["title"])
+    return keyword_terms(
+        t,
+        subject_pred=DCT + "publisher",
+        label_pred=NS["rdfs"] + "label",
+        mediawiki_titles=mw,
+        wikipedia_titles=wp,
+    )
+
+
 # ================================================ KG oracles (DuckDB twins)
 #
 # Each oracle reads the exported intermediates (see _kg_export) and
@@ -898,6 +973,39 @@ inb AS (SELECT m.root AS doc_uri, t.subj, t.pred, t.obj
         FROM t JOIN member m ON t.obj = m.part WHERE t.pred = '{refp}')
 SELECT DISTINCT doc_uri, subj, pred, obj
 FROM (SELECT * FROM own UNION ALL SELECT * FROM inb)
+"""
+
+
+def _oracle_keyword_terms() -> str:
+    from ferenda_spark.config import DCT, NS
+
+    mw_rows = ", ".join(f"('{t}')" for t in KEYWORD_MEDIAWIKI_TITLES)
+    wp_rows = ", ".join(f"('{t}')" for t in KEYWORD_WIKIPEDIA_TITLES)
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_kg_t("triples")}),
+refs AS (SELECT subj AS doc, obj AS subject FROM t
+         WHERE pred = '{DCT}publisher'),
+labels AS (SELECT subj AS subject, obj AS label FROM t
+           WHERE pred = '{NS["rdfs"]}label'),
+j AS (SELECT refs.doc,
+        regexp_replace(trim(COALESCE(l.label,
+          regexp_extract(refs.subject, '([^/#]+)[/#]?$', 1))), '\\s+', ' ', 'g') AS n
+      FROM refs LEFT JOIN labels l ON refs.subject = l.subject),
+san AS (SELECT doc, n AS term FROM j
+        WHERE length(n) BETWEEN 2 AND 100
+          AND substr(n, 1, 1) NOT IN ('.', '/', ':')
+          AND substr(n, length(n), 1) NOT IN ('.', ',')),
+base AS (SELECT term, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_refs,
+                MIN(doc) AS first_subject FROM san GROUP BY term),
+mw(term) AS (SELECT DISTINCT * FROM (VALUES {mw_rows})),
+merged AS (SELECT COALESCE(base.term, mw.term) AS term,
+                  CAST(COALESCE(n_refs, 0) AS BIGINT) AS n_refs, first_subject,
+                  (mw.term IS NOT NULL) AS in_mediawiki
+           FROM base FULL OUTER JOIN mw ON base.term = mw.term),
+wp(term) AS (SELECT DISTINCT * FROM (VALUES {wp_rows}))
+SELECT merged.term, n_refs, first_subject, in_mediawiki,
+       (wp.term IS NOT NULL) AS in_wikipedia
+FROM merged LEFT JOIN wp ON merged.term = wp.term
 """
 
 
@@ -990,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "neardup_threshold": q_neardup_threshold,
+        "search_filters": q_search_filters,
         "map_eval": q_map_eval,
         "age_rank": q_age_rank,
         "kg_triples": q_kg_triples,
@@ -999,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_skeleton": q_kg_skeleton,
         "kg_annotations": q_kg_annotations,
+        "keyword_terms": q_keyword_terms,
     }
 
 
@@ -1030,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": ORACLE_FINGERPRINT,
         "ann_bruteforce": ORACLE_ANN,
         "neardup_threshold": ORACLE_NEARDUP,
+        "search_filters": ORACLE_SEARCH,
         "map_eval": ORACLE_MAP_EVAL,
         "age_rank": ORACLE_AGE_RANK,
         "kg_skeleton": _oracle_kg_skeleton(),
@@ -1038,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_annotations": _oracle_kg_annotations(),
         "kg_pagerank": _oracle_kg_pagerank(),
         "kg_hits": _oracle_kg_hits(),
+        "keyword_terms": _oracle_keyword_terms(),
         # ann_lsh, kg_triples: non-SQL-expressible (md5-derived
         # hyperplanes / FSM segmentation); golden pytest fixtures +
         # recall tests cover them.  The kg_* oracles above read the
