@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "neardup_threshold",
+    "search_filters",
 ]
 
 

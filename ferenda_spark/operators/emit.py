@@ -26,7 +26,11 @@ from ferenda_spark.config import (
     RDF_TYPE,
     PipelineConfig,
 )
-from ferenda_spark.functions.minting import ENTITY_TEMPLATES, mint_entity_uri_col
+from ferenda_spark.functions.minting import (
+    ENTITY_TEMPLATES,
+    mint_entity_uri_col,
+    template_order,
+)
 
 TRIPLE_COLS = ("subj", "pred", "obj", "obj_is_uri", "lang", "datatype")
 
@@ -81,7 +85,7 @@ def emit_doc_triples(doc_rows: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).filter(F.col("docid").isNotNull())
 
     u = F.col("uri")
-    primary = sorted(ENTITY_TEMPLATES, key=lambda t: t.priority)[0]
+    primary = template_order(ENTITY_TEMPLATES)[0]
     return _explode_triples(
         d,
         [
@@ -175,7 +179,7 @@ def emit_mention_triples(mentions_with_target: DataFrame, cfg: PipelineConfig) -
 def emit_sameas_triples(entity_labels: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Distinct linked entity labels -> owl:sameAs edges between all
     URIs minted by the template set (coin.py:43-47 multi-mint)."""
-    ts = sorted(ENTITY_TEMPLATES, key=lambda t: t.priority)
+    ts = template_order(ENTITY_TEMPLATES)
     e = entity_labels.select("entity_label").filter(
         F.col("entity_label").isNotNull()
     ).distinct()
@@ -200,16 +204,56 @@ def emit_sameas_triples(entity_labels: DataFrame, cfg: PipelineConfig) -> DataFr
 def validate_required_predicates(
     triples: DataFrame, required: tuple[str, ...] = (RDF_TYPE,)
 ) -> DataFrame:
-    """Subjects missing a required predicate -> warning rows
+    """T4: subjects missing a required predicate -> warning rows
     (decorators.py:229-236; default rdf:type,
     documentrepository.py:339-346). Only doc/section subjects (those
-    we emitted identifiers for) are held to the rule."""
+    we emitted identifiers for) are held to the rule.
+    Output (subject, warning)."""
     subjects = triples.select("subj").distinct()
     have = (
         triples.filter(F.col("pred").isin(list(required)))
         .select("subj")
         .distinct()
     )
-    return subjects.join(have, "subj", "left_anti").withColumn(
-        "warning", F.lit("missing required predicate rdf:type")
+    return subjects.join(have, "subj", "left_anti").select(
+        F.col("subj").alias("subject"),
+        F.lit("missing required predicate rdf:type").alias("warning"),
     )
+
+
+def validate_unique_resources(
+    segments: DataFrame, max_resources: int = 1000
+) -> DataFrame:
+    """T5: duplicate sub-resource / resource-count validation
+    (documentrepository.py:1710-1726 render_xhtml_validate): within
+    one document a sub-resource id must be emitted exactly once, and
+    a document must not produce more than `max_resources` resources.
+    Output (subject, warning) — subject is 'url#frag' for dup rows,
+    the url for over-cap rows.  Two partial-aggregated groupBys over
+    the sections slice; scale-safe."""
+    secs = segments.filter(F.col("kind") == "section")
+    dups = (
+        secs.groupBy("url", "frag_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(
+            F.concat_ws("#", "url", "frag_id").alias("subject"),
+            F.lit("resource encountered twice").alias("warning"),
+        )
+    )
+    over = (
+        secs.groupBy("url")
+        .agg(F.countDistinct("frag_id").alias("n"))
+        .filter(F.col("n") > max_resources)
+        .select(
+            F.col("url").alias("subject"),
+            F.concat(
+                F.lit("found over "),
+                F.lit(max_resources),
+                F.lit(" resources ("),
+                F.col("n"),
+                F.lit(")"),
+            ).alias("warning"),
+        )
+    )
+    return dups.unionByName(over)

@@ -18,8 +18,19 @@ from __future__ import annotations
 import hashlib
 from html.parser import HTMLParser
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def strip_faux_bold(col: Column) -> Column:
+    """P4 faux-bold strip (rfc.py:461-467): some plaintext sources
+    embolden by overstriking — a char, backspace (\\x08), then the
+    char again.  ``re.sub('.\\b', '', text)`` removes every
+    char+backspace pair, leaving the final glyph; this is the same
+    regex as a column expression (parse-time preprocessing, applied
+    before segmentation)."""
+    return F.regexp_replace(col, ".\x08", "")
 
 DOCS_SCHEMA = T.StructType(
     [

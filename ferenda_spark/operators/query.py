@@ -326,6 +326,29 @@ def feed_archive_windows(df: DataFrame, order_cols: list, archivesize: int = 100
     )
 
 
+# ------------------------------------------- J2: facets ⋈ entries decoration
+
+def decorate_entries(
+    faceted: DataFrame, entries: DataFrame, uri_col: str = "uri"
+) -> DataFrame:
+    """J2 news_facet_entries (documentrepository.py:3210-3243):
+    decorate each news entry with its faceted-data row.  Entries
+    whose uri does not occur in the faceted data are DROPPED (the
+    reference warns and skips, :3219-3224 — surface them with
+    `entry_mismatches` below); the join is an inner equi-join, so
+    the result carries the entry's columns plus the facet columns."""
+    return entries.join(faceted, uri_col, "inner")
+
+
+def entry_mismatches(
+    faceted: DataFrame, entries: DataFrame, uri_col: str = "uri"
+) -> DataFrame:
+    """The warn-and-drop set of decorate_entries: entries missing
+    from the faceted data (documentrepository.py:3219-3224 warning
+    path) — an anti-join, for the caller's log/metrics."""
+    return entries.join(faceted.select(uri_col), uri_col, "left_anti")
+
+
 # --------------------------------------------------- J5: composite resolution
 
 def composite_union_dedup(

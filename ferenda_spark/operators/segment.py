@@ -84,6 +84,13 @@ def segment_sections(docs: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in SEGMENTS_SCHEMA.fields])
 
-    return docs.select("url", "lang", "extracted_text").mapInPandas(
-        run, schema=SEGMENTS_SCHEMA
-    )
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators.extract import strip_faux_bold
+
+    # P4: overstrike faux-bold is stripped at parse time
+    # (rfc.py:461-467 cleanparagraphs), never in the extractor — the
+    # extractor's byte-identical invariant stays intact
+    return docs.select(
+        "url", "lang", strip_faux_bold(F.col("extracted_text")).alias("extracted_text")
+    ).mapInPandas(run, schema=SEGMENTS_SCHEMA)

@@ -32,6 +32,8 @@ from ferenda_spark.operators.emit import (
     emit_mention_triples,
     emit_sameas_triples,
     emit_section_triples,
+    validate_required_predicates,
+    validate_unique_resources,
 )
 from ferenda_spark.operators.extract import extract_docs
 from ferenda_spark.operators.link import gazetteer_df, link_names
@@ -58,6 +60,8 @@ class KGResult:
     # independently recompute canon/edges from the same inputs
     sameas: DataFrame | None = None
     doc_directory: DataFrame | None = None
+    # T4 + T5 validation warnings (subject, warning)
+    warnings: DataFrame | None = None
 
 
 def _assemble_triples(
@@ -123,8 +127,12 @@ def build_kg(
         doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url"
     )
     edges = relate_edges(triples, doc_directory)
+    warnings = validate_required_predicates(triples).unionByName(
+        validate_unique_resources(segments, cfg.max_resources)
+    )
     return KGResult(
-        docs, segments, mentions, triples, canon, edges, sameas, doc_directory
+        docs, segments, mentions, triples, canon, edges, sameas, doc_directory,
+        warnings,
     )
 
 
@@ -192,6 +200,16 @@ def run_pipeline(
     sameas = triples_raw.filter(F.col("pred") == OWL_SAMEAS).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
+    # T4/T5 validation stage: warnings materialize next to the data
+    # (the reference logs-and-continues; the count is the metric)
+    warnings = run_global_stage(
+        spark, "validate",
+        lambda: validate_required_predicates(triples).unionByName(
+            validate_unique_resources(segments, cfg.max_resources)
+        ),
+        p("warnings"), lineage, run_id, resume,
+    )
     return KGResult(
-        docs, segments, mentions, triples, canon, edges, sameas, doc_directory
+        docs, segments, mentions, triples, canon, edges, sameas, doc_directory,
+        warnings,
     )

@@ -69,8 +69,10 @@ def test_materialized_pipeline_and_resume(spark):
         stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
         assert stages == {
             "extract", "segment", "mentions", "emit",
-            "canonicalize", "rewrite", "relate",
+            "canonicalize", "rewrite", "relate", "validate",
         }
+        # T4/T5 validations ran; the synthetic corpus is clean
+        assert res1.warnings.count() == 0
         # simulate a crash after extract: drop lineage of later stages
         lin = lineage.filter(F.col("stage").isin(["extract", "segment"]))
         lin_path = os.path.join(tmp, "lineage")
