@@ -221,6 +221,20 @@ def validate_required_predicates(
     )
 
 
+def graph_diff(got: DataFrame, want: DataFrame) -> DataFrame:
+    """T6 graph-diff validation (testutil.py:58-117
+    assertEqualGraphs): order-insensitive triple-set comparison.
+    Returns one row per divergence — op='spurious' for triples only
+    in `got`, op='missing' for triples only in `want` — so an empty
+    result IS graph equality.  exceptAll keeps multiplicity, which
+    catches duplicate-emission bugs a set diff would mask."""
+    cols = ["subj", "pred", "obj"]
+    a, b = got.select(*cols), want.select(*cols)
+    spurious = a.exceptAll(b).withColumn("op", F.lit("spurious"))
+    missing = b.exceptAll(a).withColumn("op", F.lit("missing"))
+    return spurious.unionByName(missing).select("op", *cols)
+
+
 def validate_unique_resources(
     segments: DataFrame, max_resources: int = 1000
 ) -> DataFrame:

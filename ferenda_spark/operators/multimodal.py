@@ -116,6 +116,82 @@ def real_decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("rgb", T.BinaryType(), False),
+    ]
+)
+
+
+def _fake_rgb_decode(payload: bytes, width: int, height: int):
+    """Deterministic stand-in for an image codec: PCG64 seeded from
+    the payload md5 → H×W×3 uint8 array.  The *resize math* applied
+    to it is real; only this byte→pixels step is the stubbed seam."""
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    decode_rgb: Callable[[bytes, int, int], "object"] | None = None,
+) -> DataFrame:
+    """Image resize over mapInPandas: decode each payload to an
+    H×W×3 array (pluggable codec; deterministic fake by default),
+    resize with REAL nearest-neighbor index math in numpy, emit the
+    raw RGB bytes plus the new dims.  Output (id, width, height,
+    rgb) — payload and meta are projected out so only
+    out_w·out_h·3 bytes per row continue downstream.
+
+    Rows without payload or meta dims are dropped (the reference
+    skips undecodable sources and logs; the count difference is the
+    metric)."""
+    import numpy as np
+
+    decode = decode_rgb or _fake_rgb_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, payload, meta in zip(pdf["id"], pdf["payload"], pdf["meta"]):
+                if payload is None or meta is None:
+                    continue
+                w, h = meta.get("width"), meta.get("height")
+                if not w or not h:
+                    continue
+                img = decode(bytes(payload), int(w), int(h))
+                # nearest-neighbor: src index = floor((dst + 0.5) * src/dst)
+                ys = np.minimum(
+                    ((np.arange(out_h) + 0.5) * img.shape[0] / out_h).astype(int),
+                    img.shape[0] - 1,
+                )
+                xs = np.minimum(
+                    ((np.arange(out_w) + 0.5) * img.shape[1] / out_w).astype(int),
+                    img.shape[1] - 1,
+                )
+                ids.append(i)
+                blobs.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "rgb": blobs,
+                }
+            )
+
+    return media.filter(media["kind"] == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling *plan*: one output row per sampled
     timestamp, derived from meta.duration_ms — pure column ops

@@ -299,15 +299,22 @@ def average_precision(
 # ----------------------------------------------- W4/W5: pagination & windows
 
 def paginate(df: DataFrame, order_cols: list, pagenum: int, pagelen: int) -> DataFrame:
-    """fulltextindex.py:835-836 / wsgiapp.py:634-660 pager: global
-    row_number over the sort order, keep one page.  Window with no
-    partition = single-reducer sort; acceptable because pagination
-    is a top-(pagenum*pagelen) problem — at scale prefilter with a
-    per-partition top-k before the global window."""
-    w = Window.orderBy(*order_cols)
+    """fulltextindex.py:835-836 / wsgiapp.py:634-660 pager: one page
+    of the global sort order.
+
+    Pagination is a top-(pagenum·pagelen) problem, so the plan is
+    orderBy(...).limit(page-end) — Catalyst compiles that to
+    TakeOrderedAndProject: every partition keeps a bounded
+    page-end-sized heap map-side and the driver merges heaps; no
+    global sort, no full shuffle, and the no-partition row_number
+    window that assigns ranks only ever sees ≤ page-end rows.  The
+    order MUST be fully tie-broken (as all catalog callers do) for
+    the page slice to be deterministic."""
     lo, hi = (pagenum - 1) * pagelen, pagenum * pagelen
+    top = df.orderBy(*order_cols).limit(hi)
+    w = Window.orderBy(*order_cols)
     return (
-        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
     )
 

@@ -103,6 +103,40 @@ def test_threshold_pairs_exact_symmetric(spark, embeddings):
     assert len(got) == len(pairs)  # no dup emission
 
 
+def test_resize_images(spark):
+    import numpy as np
+
+    # known 2x2 checkerboard, upscaled 2x with nearest-neighbor:
+    # each source pixel becomes a 2x2 block
+    src = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 9, 9]]], dtype=np.uint8
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"img"), ("image/png", 2, 2, None)),
+            (2, "image", None, ("image/png", 2, 2, None)),  # no payload: dropped
+            (3, "audio", bytearray(b"x"), ("audio/wav", None, None, 10)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = {
+        r["id"]: r
+        for r in M.resize_images(
+            media, 4, 4, decode_rgb=lambda p, w, h: src
+        ).collect()
+    }
+    assert set(out) == {1}
+    got = np.frombuffer(bytes(out[1]["rgb"]), dtype=np.uint8).reshape(4, 4, 3)
+    want = np.kron(src.reshape(2, 2, 3).transpose(2, 0, 1), np.ones((2, 2))).transpose(
+        1, 2, 0
+    ).astype(np.uint8)
+    assert (got == want).all()
+    # deterministic fake decoder: same payload -> same bytes
+    a = M.resize_images(media, 3, 3).collect()[0]["rgb"]
+    b = M.resize_images(media, 3, 3).collect()[0]["rgb"]
+    assert bytes(a) == bytes(b) and len(bytes(a)) == 3 * 3 * 3
+
+
 def test_threshold_pairs_blocked_matches_exact(spark, embeddings):
     """The distributed block-matrix path must reproduce the exact
     all-pairs result (same semantics, no driver collect)."""

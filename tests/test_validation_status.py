@@ -67,6 +67,24 @@ def test_validate_required_predicates(spark):
     assert [r["subject"] for r in warns] == ["s2"]
 
 
+def test_graph_diff(spark):
+    from ferenda_spark.operators.emit import graph_diff
+
+    a = spark.createDataFrame(
+        [("s1", "p", "o"), ("s1", "p", "o"), ("s2", "p", "o")],
+        ["subj", "pred", "obj"],
+    )
+    b = spark.createDataFrame(
+        [("s1", "p", "o"), ("s2", "p", "o"), ("s3", "p", "o")],
+        ["subj", "pred", "obj"],
+    )
+    got = {(r["op"], r["subj"]) for r in graph_diff(a, b).collect()}
+    # duplicate s1 row in `a` is spurious (multiplicity-aware);
+    # s3 only in `b` is missing
+    assert got == {("spurious", "s1"), ("missing", "s3")}
+    assert graph_diff(a, a).count() == 0
+
+
 def test_decorate_entries_and_mismatches(spark):
     faceted = spark.createDataFrame(
         [("u:1", 2013), ("u:2", 2014)], ["uri", "year"]

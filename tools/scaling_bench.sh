@@ -64,7 +64,7 @@ run() { # $1 = cores, $2 = rep
   cpus="0-$(($1 - 1))"
   units_before=$(calib "$1")
   BENCH_MASTER="local[$1]" SPARK_SHUFFLE_PARTITIONS="$1" \
-  BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" BENCH_KG_ONLY=1 \
+  BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" BENCH_KG_ONLY=1 BENCH_KG_REPS=1 \
   taskset -c "$cpus" spark-submit --master "local[$1]" --driver-memory 48g \
     --py-files build/engine.zip \
     bench.py 2>"BENCH/bench_local$1_r$2.log" | tail -1 \
