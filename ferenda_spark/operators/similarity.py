@@ -144,13 +144,61 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_col(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket string for one hash table."""
+    """Sign-pattern bucket string for one hash table, as a pure
+    column expression.  NOTE: Spark evaluates the higher-order
+    aggregate folds interpreted, so the BLAS variant
+    (`blas_bucket_ids`) is the hot-path implementation — this stays
+    for expression-only contexts and as the semantic spec."""
     bits = [
         F.when(_dot(_as_double(vec_col), F.array(*[F.lit(x) for x in plane])) >= 0, "1")
         .otherwise("0")
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def blas_bucket_ids(
+    df: DataFrame,
+    out_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All `tables` sign-pattern buckets per vector in ONE BLAS
+    matmul per Arrow batch, emitting ONLY (out_id, bucket) rows —
+    the vector itself is never duplicated through the ×tables
+    explode.  Bucket = 't:<code>' where code packs the sign bits."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    tbls = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(tables)]
+    planes = np.asarray(tbls, dtype=np.float64)  # (tables, n_planes, dim)
+    pow2 = 1 << np.arange(n_planes - 1, -1, -1)
+    schema = T.StructType(
+        [T.StructField(out_id, T.LongType()), T.StructField("bucket", T.StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            bits = np.einsum("bd,tpd->btp", mat, planes) >= 0
+            codes = (bits * pow2).sum(axis=2)  # (batch, tables) ints
+            ids = np.repeat(pdf["id"].to_numpy(dtype=np.int64), tables)
+            tidx = np.tile(np.arange(tables), len(pdf))
+            bucket = np.char.add(
+                np.char.add(tidx.astype("U2"), ":"),
+                codes.ravel().astype(f"U{n_planes + 1}"),
+            )
+            yield pd.DataFrame({out_id: ids, "bucket": bucket})
+
+    src = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    return src.mapInPandas(run, schema=schema)
 
 
 def lsh_topk(
@@ -176,45 +224,14 @@ def lsh_topk(
     duplicated through the ×tables explode; the candidate id pairs,
     deduped while still narrow, join the vectors back for the exact
     re-rank (probe side broadcast)."""
-    import numpy as np
-    import pandas as pd
-    import pyspark.sql.types as T
-
-    tbls = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(tables)]
-    planes = np.asarray(tbls, dtype=np.float64)  # (tables, n_planes, dim)
-    pow2 = 1 << np.arange(n_planes - 1, -1, -1)
-
-    def bucket_ids(df: DataFrame, out_id: str) -> DataFrame:
-        schema = T.StructType(
-            [
-                T.StructField(out_id, T.LongType()),
-                T.StructField("bucket", T.StringType()),
-            ]
-        )
-
-        def run(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-                bits = np.einsum("bd,tpd->btp", mat, planes) >= 0
-                codes = (bits * pow2).sum(axis=2)  # (batch, tables) ints
-                ids = np.repeat(pdf["id"].to_numpy(dtype=np.int64), tables)
-                tidx = np.tile(np.arange(tables), len(pdf))
-                bucket = np.char.add(
-                    np.char.add(tidx.astype("U2"), ":"),
-                    codes.ravel().astype(f"U{n_planes + 1}"),
-                )
-                yield pd.DataFrame({out_id: ids, "bucket": bucket})
-
-        src = df.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-        )
-        return src.mapInPandas(run, schema=schema)
-
     cand = (
-        bucket_ids(queries, "query_id")
-        .join(bucket_ids(corpus, "neighbor_id"), "bucket")
+        blas_bucket_ids(queries, "query_id", id_col, vec_col, dim, n_planes, tables, seed)
+        .join(
+            blas_bucket_ids(
+                corpus, "neighbor_id", id_col, vec_col, dim, n_planes, tables, seed
+            ),
+            "bucket",
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -374,24 +391,33 @@ def neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     generation + exact threshold filter.  Output (id_a, id_b) with
-    id_a < id_b."""
-    tbls = [hyperplanes(dim, n_planes, 42 + 1000 * t) for t in range(tables)]
-    buckets = F.array(
-        *[
-            F.concat(F.lit(f"{t}:"), lsh_bucket_col(F.col(vec_col), tbls[t]))
-            for t in range(tables)
-        ]
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
-        F.explode(buckets).alias("bucket"),
+    id_a < id_b.
+
+    Buckets come from the BLAS bucketer — (id, bucket) rows only, so
+    the ×tables explode never duplicates vectors; the deduped narrow
+    candidate pairs join the vectors back for the exact re-rank."""
+    b = blas_bucket_ids(
+        embeddings, "id", id_col, vec_col, dim, n_planes, tables, seed=42
     )
     a, c = b.alias("a"), b.alias("b")
-    return (
-        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                cosine(F.col("a.v"), F.col("b.v")).alias("sim"))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
     )

@@ -103,6 +103,25 @@ def test_threshold_pairs_exact_symmetric(spark, embeddings):
     assert len(got) == len(pairs)  # no dup emission
 
 
+def test_neardup_pairs_lsh_finds_planted_dups(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.normal(size=(40, 64))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant 5 near-duplicates: id 100+i ~ id i with tiny noise
+    for i in range(5):
+        rows.append((100 + i, (base[i] + rng.normal(scale=1e-3, size=64)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b) for r in S.neardup_pairs(emb, threshold=0.95).collect()}
+    exact = {
+        (r.id_a, r.id_b) for r in S.threshold_pairs_exact(emb, 0.95).collect()
+    }
+    assert got <= exact  # the exact re-rank admits no false positives
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= got  # ~identical vectors always share buckets
+
+
 def test_resize_images(spark):
     import numpy as np
 
