@@ -72,24 +72,29 @@ def main() -> None:
     n_docs = int(
         os.environ.get("BENCH_KG_DOCS", "0")
     ) or spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    # materialize the input table first — at deployment pages is an
-    # Iceberg table on disk; corpus *generation* is not pipeline work
+    # corpus generation is NOT pipeline work: materialize the pages
+    # table to parquet once (at deployment pages is an Iceberg table
+    # on disk) and scan it from storage in every measured rep
+    pages_path = os.path.join("build", f"bench_pages_{n_docs}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        synth_pages(spark, n_docs=n_docs, seed=42).write.mode("overwrite").parquet(
+            pages_path
+        )
+    # phase isolation + best-of-N: drop the query loop's lingering
+    # caches, re-warm ONLY the input table (r1-comparable protocol:
+    # the measured section is pipeline compute over a hot input, not
+    # parquet decode), then take the best of `reps` full builds —
+    # the first build pays JIT/codegen warm-up for the KG-only code
+    # paths (FSM, mention scan, CC), which is one-time cost, not
+    # pipeline throughput.  Worst cases stay visible on stderr.
     from pyspark.storagelevel import StorageLevel
 
-    pages = synth_pages(spark, n_docs=n_docs, seed=42).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    pages.count()
-    # phase isolation + best-of-2: drop the query loop's lingering
-    # caches, then take the better of two full builds — the first
-    # build pays JIT/codegen warm-up for the KG-only code paths
-    # (FSM, mention scan, CC), which is one-time cost, not pipeline
-    # throughput.  Worst-case numbers stay visible on stderr.
     reps = int(os.environ.get("BENCH_KG_REPS", "2"))
     kg_secs, n_triples, kg = None, 0, None
     for rep in range(max(1, reps)):
         spark.catalog.clearCache()
-        pages.persist(StorageLevel.MEMORY_AND_DISK).count()
+        pages = spark.read.parquet(pages_path).persist(StorageLevel.MEMORY_AND_DISK)
+        pages.count()
         t0 = time.time()
         kg = build_kg(spark, pages)
         n_triples = kg.triples.count()

@@ -61,10 +61,13 @@ run() { # $1 = cores, $2 = rep
   # config and deflates measured scaling. Pinning makes "cluster
   # size N" physically true, like a real N-core executor.
   local units_before units_after cpus
-  cpus="0-$(($1 - 1))"
+  # pin to the TOP of the cpu range: cpu0 takes interrupts and
+  # unpinned external load tends to land low — the small config
+  # would otherwise pay disproportionate interference
+  cpus="$((32 - $1))-31"
   units_before=$(calib "$1")
   BENCH_MASTER="local[$1]" SPARK_SHUFFLE_PARTITIONS="$1" \
-  BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" BENCH_KG_ONLY=1 BENCH_KG_REPS=1 \
+  BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" BENCH_KG_ONLY=1 BENCH_KG_REPS="${SCALE_KG_REPS:-1}" \
   taskset -c "$cpus" spark-submit --master "local[$1]" --driver-memory 48g \
     --py-files build/engine.zip \
     bench.py 2>"BENCH/bench_local$1_r$2.log" | tail -1 \
@@ -83,10 +86,20 @@ print(f"local[{n}] rep{r}: {d['kg']['triples_per_sec']} t/s "
 PYEOF
 }
 
-for r in $(seq 1 "$REPS"); do
-  run "$N1" "$r"
-  run "$N2" "$r"
-done
+# modes: no arg = full protocol; "one N R" = single rep (lets an
+# external driver sequence reps under its own per-command timeout);
+# "finish" = aggregation only
+MODE="${1:-all}"
+if [ "$MODE" = "one" ]; then
+  run "$2" "$3"
+  exit 0
+fi
+if [ "$MODE" = "all" ]; then
+  for r in $(seq 1 "$REPS"); do
+    run "$N1" "$r"
+    run "$N2" "$r"
+  done
+fi
 
 N1="$N1" N2="$N2" REPS="$REPS" python3 - <<'EOF'
 import glob
