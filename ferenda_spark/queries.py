@@ -976,6 +976,40 @@ FROM (SELECT * FROM own UNION ALL SELECT * FROM inb)
 """
 
 
+def q_kg_search_docs(spark, sf_dir):
+    """S7 sink projection over the real KG: one row per document
+    with title/issued/publisher facet columns pivoted from its
+    triples (relate_fulltext analog, documentrepository.py:2155-2192)."""
+    from ferenda_spark.config import DCT
+    from ferenda_spark.operators.search import search_docs
+
+    kg = _kg(spark, sf_dir)
+    facets = {
+        "title": DCT + "title",
+        "issued": DCT + "issued",
+        "publisher": DCT + "publisher",
+    }
+    return search_docs(kg.doc_directory, kg.triples, facets)
+
+
+def _oracle_kg_search_docs() -> str:
+    from ferenda_spark.config import DCT
+
+    return f"""
+WITH t AS (SELECT subj, pred, obj FROM {_kg_t("triples")}),
+d AS (SELECT doc_uri, url FROM {_kg_t("doc_directory")}),
+f AS (SELECT subj,
+             MIN(CASE WHEN pred = '{DCT}title' THEN obj END) AS title,
+             MIN(CASE WHEN pred = '{DCT}issued' THEN obj END) AS issued,
+             MIN(CASE WHEN pred = '{DCT}publisher' THEN obj END) AS publisher
+      FROM t
+      WHERE pred IN ('{DCT}title', '{DCT}issued', '{DCT}publisher')
+      GROUP BY subj)
+SELECT d.doc_uri, d.url, f.title, f.issued, f.publisher
+FROM d LEFT JOIN f ON d.doc_uri = f.subj
+"""
+
+
 def _oracle_keyword_terms() -> str:
     from ferenda_spark.config import DCT, NS
 
@@ -1109,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skeleton": q_kg_skeleton,
         "kg_annotations": q_kg_annotations,
         "keyword_terms": q_keyword_terms,
+        "kg_search_docs": q_kg_search_docs,
     }
 
 
@@ -1150,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _oracle_kg_pagerank(),
         "kg_hits": _oracle_kg_hits(),
         "keyword_terms": _oracle_keyword_terms(),
+        "kg_search_docs": _oracle_kg_search_docs(),
         # ann_lsh, kg_triples: non-SQL-expressible (md5-derived
         # hyperplanes / FSM segmentation); golden pytest fixtures +
         # recall tests cover them.  The kg_* oracles above read the
