@@ -60,12 +60,50 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.union(root).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def _driver_cc(e: DataFrame) -> DataFrame:
+    """Union-find on the driver for dimension-sized edge sets: two
+    jobs (collect + parallelize) instead of ~2 per star round —
+    the iterative distributed algorithm costs O(rounds) driver
+    round-trips, which becomes the pipeline's Amdahl serial floor
+    when the equivalence population is tiny (the common case: only
+    multi-minted entities produce sameAs edges)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = find(row["u"]), find(row["v"])
+        if a != b:
+            # union by label order so the root is always the min —
+            # the component label IS the lexicographic min member
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    all_nodes = {x for x, _ in rows} | {r for _, r in rows}
+    out = sorted((x, find(x)) for x in all_nodes)
+    return e.sparkSession.createDataFrame(out, "uri string, canon_uri string")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """edges(src, dst) -> canon_map(uri, canon_uri).
 
     canon_uri is the lexicographically smallest member of each
     component; every member (including the root) gets a row.
-    """
+
+    Size-aware strategy (same principle as the rewrite broadcast):
+    an edge set under `driver_threshold` is solved with driver-side
+    union-find — identical output, two jobs; larger sets run the
+    distributed large-star/small-star iteration, whose O(log d)
+    rounds are the only scale-safe option when the closure itself
+    exceeds driver memory."""
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -73,10 +111,13 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.isEmpty():
+    n = e.count()
+    if n == 0:
         return e.select(
             F.col("u").alias("uri"), F.col("v").alias("canon_uri")
         )
+    if n <= driver_threshold:
+        return _driver_cc(e)
     prev_sig = None
     for i in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

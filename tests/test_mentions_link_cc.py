@@ -77,6 +77,12 @@ def test_connected_components_vs_oracle(spark):
     got = {
         r["uri"]: r["canon_uri"] for r in connected_components(df).collect()
     }
+    # the distributed star path must produce the identical map
+    got_dist = {
+        r["uri"]: r["canon_uri"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got == got_dist
     want = _uf_oracle([(a, b) for a, b in edges if a != b])
     # canonical label must be the component min for every member
     comp = {}
