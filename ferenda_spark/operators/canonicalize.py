@@ -91,7 +91,7 @@ def _driver_cc(e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, driver_threshold: int = 1_000_000
+    edges: DataFrame, max_iter: int = 30, driver_threshold: int = 100_000
 ) -> DataFrame:
     """edges(src, dst) -> canon_map(uri, canon_uri).
 
@@ -103,7 +103,11 @@ def connected_components(
     union-find — identical output, two jobs; larger sets run the
     distributed large-star/small-star iteration, whose O(log d)
     rounds are the only scale-safe option when the closure itself
-    exceeds driver memory."""
+    exceeds driver memory.  The threshold counts DISTINCT UNDIRECTED
+    edges (the count runs after the dedup below); the 100k default
+    keeps the collected Python Row list in the tens-of-MB range —
+    well clear of the multi-GB object-overhead cliff a
+    million-edge-of-URIs collect would sit on."""
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())

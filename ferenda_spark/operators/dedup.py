@@ -135,13 +135,26 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Band the signature (seed div rows_per_band), bucket key =
-    md5 of the band's concatenated minhashes; docs sharing any
-    bucket are candidates.  Self-join on (band, bucket) — the LSH
-    trick makes this join's key space huge, so it stays sparse.
-    Output (id_a, id_b) with id_a < id_b, distinct."""
+    the band's concatenated minhashes; docs sharing any bucket are
+    candidates.  Self-join on (band, bucket) — the LSH trick makes
+    this join's key space huge, so it stays sparse.
+    Output (id_a, id_b) with id_a < id_b, distinct.
+
+    `max_bucket_size` bounds the d² blowup of degenerate buckets
+    (boilerplate/near-empty docs all hashing identically): buckets
+    with more than that many members are dropped via a counted
+    semi-join BEFORE the self-join, so the worst bucket emits at
+    most max_bucket_size² candidate rows instead of an unbounded d².
+    Same design as jaccard_pairs' document-frequency cap; a bucket
+    that large carries ~no discrimination signal anyway (its
+    members pair through their other, selective bands).  AQE still
+    splits whatever skew remains below the cap."""
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
@@ -155,6 +168,14 @@ def lsh_candidate_pairs(
             ).alias("bucket")
         )
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -321,15 +321,32 @@ def paginate(df: DataFrame, order_cols: list, pagenum: int, pagelen: int) -> Dat
 
 def feed_archive_windows(df: DataFrame, order_cols: list, archivesize: int = 100) -> DataFrame:
     """documentrepository.py:3553-3575 fixed-size archive pages:
-    bucket = floor((rn-1)/archivesize). Returns per-bucket counts."""
-    w = Window.orderBy(*order_cols)
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "archive_page", F.floor((F.col("rn") - 1) / archivesize).cast("long")
+    bucket = floor((rn-1)/archivesize). Returns per-bucket counts.
+
+    The per-bucket COUNTS are order-independent — page i holds
+    min(archivesize, n - i·archivesize) entries for any total n —
+    so no row numbering (and no global no-partition window, which
+    would single-reduce the whole entry set at scale) is needed:
+    one partial-aggregated global count, then a 1-row
+    sequence+explode generates the page rows arithmetically.
+    `order_cols` only ever decided *membership*, which counts don't
+    see; the parameter is kept for API compatibility."""
+    del order_cols  # membership order does not affect counts
+    n = df.agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 0)
+    pages = n.select(
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / archivesize))
+        ).alias("archive_page"),
+        "n",
+    )
+    return pages.select(
+        F.col("archive_page").cast("long").alias("archive_page"),
+        F.least(
+            F.lit(archivesize),
+            F.col("n") - F.col("archive_page") * archivesize,
         )
-        .groupBy("archive_page")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_entries"))
+        .cast("long")
+        .alias("n_entries"),
     )
 
 

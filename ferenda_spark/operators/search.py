@@ -112,8 +112,12 @@ def search(
     df = apply_filters(docs, filters)
 
     score = F.lit(1.0)
-    if q:
-        toks = [t for t in q.lower().split() if t]
+    # A q that tokenizes to nothing (e.g. all-whitespace) is the
+    # same as no q: no AND-match, constant relevance — the reference
+    # sends an empty must-clause list in that case
+    # (fulltextindex.py:873-877).
+    toks = [t for t in q.lower().split() if t] if q else []
+    if toks:
         occ_cols = []
         for tok in toks:
             occ = sum(
@@ -137,10 +141,124 @@ def search(
         score = score * mult
 
     ranked = df.select(F.col(id_col).alias("id"), score.cast("double").alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    # Top-(pagenum·pagelen) semantics: orderBy().limit(page-end)
+    # compiles to TakeOrderedAndProject (bounded per-partition heaps
+    # merged on the driver) — the no-partition row_number window
+    # below only ever ranks ≤ page-end rows, never the full filtered
+    # result set (same plan as query.paginate).
+    order = [F.desc("score"), F.asc("id")]
     lo, hi = (pagenum - 1) * pagelen, pagenum * pagelen
+    top = ranked.orderBy(*order).limit(hi)
+    w = Window.orderBy(*order)
     return (
-        ranked.withColumn("rn", F.row_number().over(w).cast("long"))
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    )
+
+
+def search_parent_child(
+    parents: DataFrame,
+    children: DataFrame,
+    q: str,
+    parent_key: str = "doc_id",
+    child_parent_key: str = "doc_id",
+    filters: dict | None = None,
+    parent_fields: tuple[str, ...] = ("text",),
+    child_fields: tuple[str, ...] = ("text",),
+    role_col: str | None = None,
+    exclude_role: str = "autocomplete",
+    pagenum: int = 1,
+    pagelen: int = 10,
+) -> DataFrame:
+    """ES has_parent/has_child search restated relationally
+    (fulltextindex.py:890-910 submatches + :975-981 parent filter).
+
+    Reference semantics: the index holds parent docs and child
+    sections in one join-typed index; a freetext q builds a bool
+    SHOULD of [parent matches q, has_child(child matches q AND
+    role != 'autocomplete')], only parent rows are returned
+    (join='parent' filter), and matching children surface as
+    inner_hits on their parent.
+
+    Restatement: typed filters apply to the parent table; a parent
+    qualifies when it AND-matches q itself OR has ≥1 qualifying
+    child (the has_child clause — a grouped child-match aggregate,
+    i.e. a semi-join carrying scores); score = parent occurrence
+    score + sum of qualifying children's occurrence scores (the
+    deterministic analog of ES sum score_mode), and n_child_hits
+    carries the inner_hits count.  Output one page:
+    (id, score, n_child_hits, rn).
+
+    Plan shape: child side is one partial-aggregated groupBy on the
+    parent key, joined to the filtered parent scan; ranking is
+    orderBy+limit (TakeOrderedAndProject) — no global window, no
+    driver loop; scale-safe on both sides."""
+    toks = [t for t in q.lower().split() if t]
+    if not toks:
+        # no-q parent/child search degenerates to plain search
+        return search(
+            parents, filters=filters, q=None, id_col=parent_key,
+            pagenum=pagenum, pagelen=pagelen,
+        ).select(
+            "id", "score", F.lit(0).cast("long").alias("n_child_hits"), "rn"
+        )
+
+    def and_match_score(df: DataFrame, fields: tuple[str, ...]):
+        """(match_filter, score) for AND-matching toks over fields."""
+        occ_cols = []
+        for tok in toks:
+            occ = sum(
+                (_occurrences(F.col(fld), tok) for fld in fields[1:]),
+                _occurrences(F.col(fields[0]), tok),
+            )
+            occ_cols.append(occ)
+        matched = occ_cols[0] >= 1
+        total = occ_cols[0]
+        for occ in occ_cols[1:]:
+            matched = matched & (occ >= 1)
+            total = total + occ
+        return matched, total
+
+    ch = children
+    if role_col is not None:
+        # fulltextindex.py:900-909 must_not term role=autocomplete
+        ch = ch.filter(
+            F.col(role_col).isNull() | (F.col(role_col) != exclude_role)
+        )
+    c_matched, c_score = and_match_score(ch, child_fields)
+    child_agg = (
+        ch.filter(c_matched)
+        .groupBy(F.col(child_parent_key).alias("_pk"))
+        .agg(
+            F.sum(c_score).alias("_child_score"),
+            F.count(F.lit(1)).cast("long").alias("n_child_hits"),
+        )
+    )
+
+    p = apply_filters(parents, filters)
+    p_matched, p_score = and_match_score(p, parent_fields)
+    scored = (
+        p.join(child_agg, F.col(parent_key) == F.col("_pk"), "left")
+        .filter(p_matched | F.col("n_child_hits").isNotNull())
+        .select(
+            F.col(parent_key).alias("id"),
+            (
+                F.when(p_matched, p_score).otherwise(F.lit(0.0))
+                + F.coalesce(F.col("_child_score"), F.lit(0.0))
+            )
+            .cast("double")
+            .alias("score"),
+            F.coalesce(F.col("n_child_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_child_hits"),
+        )
+    )
+    order = [F.desc("score"), F.asc("id")]
+    lo, hi = (pagenum - 1) * pagelen, pagenum * pagelen
+    top = scored.orderBy(*order).limit(hi)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
     )
 

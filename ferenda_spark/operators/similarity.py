@@ -242,8 +242,13 @@ def lsh_topk(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
+    # Size-aware broadcast (same pattern as rewrite_triples): the
+    # API allows queries == corpus, where an unconditional broadcast
+    # of the query-vector table would OOM the driver/executors.  The
+    # count is a cheap narrow scan of the (usually tiny) probe set.
+    q_count = queries.count()
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        cand.join(F.broadcast(qv) if q_count <= 100_000 else qv, "query_id")
         .join(cv, "neighbor_id")
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )

@@ -62,12 +62,19 @@ class KGResult:
     doc_directory: DataFrame | None = None
     # T4 + T5 validation warnings (subject, warning)
     warnings: DataFrame | None = None
+    # emission inputs — exposed so the kg_triples oracle can
+    # independently recompute emit -> CC -> rewrite in SQL from the
+    # SAME upstream tables (the Python FSM/link stages stay
+    # golden-pytest-checked; the relational layer gets a DuckDB twin)
+    linked: DataFrame | None = None
+    mentions_t: DataFrame | None = None
 
 
 def _assemble_triples(
     spark: SparkSession, segments: DataFrame, mentions: DataFrame, cfg: PipelineConfig
-) -> tuple[DataFrame, DataFrame]:
-    """(triples_raw, linked_doc_rows) from segment + mention tables."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(triples_raw, linked_doc_rows, linked, mentions_t) from
+    segment + mention tables."""
     doc_rows = segments.filter(F.col("kind") == "doc")
     # linked feeds both emit_doc_triples and emit_sameas_triples —
     # persist so the gazetteer join + fuzzy pass run once
@@ -92,7 +99,7 @@ def _assemble_triples(
         .unionByName(emit_mention_triples(m, cfg))
         .unionByName(emit_sameas_triples(linked, cfg))
     )
-    return triples_raw, docids
+    return triples_raw, docids, linked, m
 
 
 def build_kg(
@@ -106,7 +113,9 @@ def build_kg(
     docs = extract_docs(pages)
     segments = segment_sections(docs).persist(StorageLevel.MEMORY_AND_DISK)
     mentions = detect_mentions(segments)
-    triples_raw, docids = _assemble_triples(spark, segments, mentions, cfg)
+    triples_raw, docids, linked, mentions_t = _assemble_triples(
+        spark, segments, mentions, cfg
+    )
     # triples_raw feeds BOTH the sameAs extraction (consumed
     # iteratively by CC) and the rewrite — without this persist the
     # whole mention+emit DAG executes twice
@@ -132,7 +141,7 @@ def build_kg(
     )
     return KGResult(
         docs, segments, mentions, triples, canon, edges, sameas, doc_directory,
-        warnings,
+        warnings, linked, mentions_t,
     )
 
 
@@ -167,7 +176,7 @@ def run_pipeline(
     )
 
     def mk_raw():
-        raw, _ = _assemble_triples(spark, segments, mentions, cfg)
+        raw, _, _, _ = _assemble_triples(spark, segments, mentions, cfg)
         return raw
 
     triples_raw = run_bucketed_stage(

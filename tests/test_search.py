@@ -106,3 +106,75 @@ def test_search_docs_facet_pivot(spark):
     assert rows["u:2"]["issued"] == "2014-01"
     assert rows["u:2"]["publisher"] is None
     assert set(sd.columns) == {"doc_uri", "title", "issued", "publisher"}
+
+
+# ---------------------------------------------- parent/child (has_child)
+
+CHILDREN = [
+    # (doc_id, sec_id, text, role)
+    (1, "S1", "quick brown detail", None),
+    (1, "S2", "quick again", None),
+    (3, "S1", "irrelevant", None),
+    (5, "S1", "quick inside child only", None),
+    (5, "S2", "quick autocomplete row", "autocomplete"),
+    (2, "S1", "nothing", None),
+]
+CCOLS = ["doc_id", "sec_id", "text", "role"]
+
+
+def test_parent_child_hits_and_scores(spark):
+    """fulltextindex.py:890-910: parent hits on own match OR any
+    non-autocomplete child match; score sums child contributions."""
+    parents = _docs(spark)
+    children = spark.createDataFrame(CHILDREN, CCOLS)
+    rows = {
+        r["id"]: r
+        for r in SR.search_parent_child(
+            parents, children, q="quick", role_col="role", pagelen=10
+        ).collect()
+    }
+    # doc 5 has no own match but a child match -> included (child-only)
+    assert 5 in rows and rows[5]["n_child_hits"] == 1  # autocomplete excluded
+    # doc 3 matches itself but its child doesn't -> 0 child hits
+    assert rows[3]["n_child_hits"] == 0
+    # doc 1: own occ 1 + children 1 + 1 = 3.0
+    assert rows[1]["score"] == 3.0 and rows[1]["n_child_hits"] == 2
+    # doc 2: own occ 3 + child 0 matching children
+    assert rows[2]["score"] == 3.0 and rows[2]["n_child_hits"] == 0
+    # doc 4 matches itself only
+    assert rows[4]["score"] == 1.0
+    # ranking deterministic: score desc, id asc
+    order = [r["id"] for r in sorted(rows.values(), key=lambda r: r["rn"])]
+    assert order == [1, 2, 5, 3, 4] or order[0:2] == [1, 2]
+
+
+def test_parent_child_autocomplete_excluded(spark):
+    parents = _docs(spark)
+    children = spark.createDataFrame(
+        [(5, "S1", "quick", "autocomplete")], CCOLS
+    )
+    got = {
+        r["id"]
+        for r in SR.search_parent_child(
+            parents, children, q="nothing relevant", role_col="role", pagelen=10
+        ).collect()
+    }
+    # only doc 5's own text AND-matches both tokens; its sole child
+    # is autocomplete-excluded
+    assert got == {5}
+
+
+def test_parent_child_empty_q_degenerates(spark):
+    parents = _docs(spark)
+    children = spark.createDataFrame(CHILDREN, CCOLS)
+    out = SR.search_parent_child(
+        parents, children, q="   ", role_col="role", pagelen=3
+    ).collect()
+    assert len(out) == 3
+    assert all(r["n_child_hits"] == 0 for r in out)
+
+
+def test_search_blank_q_no_error(spark):
+    """ADVICE: q that tokenizes to nothing must not IndexError."""
+    out = SR.search(_docs(spark), q="   ", pagelen=3).collect()
+    assert len(out) == 3 and all(r["score"] == 1.0 for r in out)

@@ -64,7 +64,8 @@ run() { # $1 = cores, $2 = rep
   # pin to the TOP of the cpu range: cpu0 takes interrupts and
   # unpinned external load tends to land low — the small config
   # would otherwise pay disproportionate interference
-  cpus="$((32 - $1))-31"
+  local hi=$(( $(nproc) - 1 ))
+  cpus="$((hi - $1 + 1))-$hi"
   units_before=$(calib "$1")
   BENCH_MASTER="local[$1]" SPARK_SHUFFLE_PARTITIONS="$1" \
   BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" BENCH_KG_ONLY=1 BENCH_KG_REPS="${SCALE_KG_REPS:-1}" \
