@@ -94,3 +94,34 @@ def wildcard_to_rlike(pattern: str) -> str:
 def g_year_month(col: Column) -> Column:
     """rfc.py:622-640 / util.gYearMonth: 'yyyy-MM' literal."""
     return F.date_format(col, "yyyy-MM")
+
+
+def collation_key(col: Column, collate_locale: str | None = None) -> Column:
+    """locale.strxfrm analog as a pure column expression — the TOC
+    pageset sort runs under the repo's collate locale in the
+    reference (documentrepository.py:2950-2952 switch_locale +
+    locale.strxfrm; collate_locale attr :221-222).
+
+    JVM-side restatement: a primary-strength collation key via
+    character translation, so `orderBy(collation_key(c, loc))` sorts
+    identically to strxfrm for the supported locales without any
+    Python in the sort path (and without requiring the locale to be
+    installed on every executor, which strxfrm would).
+
+    - sv/fi: å ä ö sort AFTER z in that order (codepoint order would
+      give ä < å < ö), é folds to e, ü collates as y;
+    - da/no: æ ø å after z in that order;
+    - default/None: accent-fold only (≈ C locale on lowercased text).
+
+    Lowercasing first = primary strength, matching strxfrm's
+    case-insensitive primary weights for these locales."""
+    c = F.lower(col)
+    # accent folds shared by all supported locales
+    c = F.translate(c, "éèêëáàâíìîóòôúùû", "eeeeaaaiiiooouuu")
+    loc = (collate_locale or "").lower()
+    if loc.startswith(("sv", "fi")):
+        # '{' '|' '}' are the first three codepoints above 'z'
+        return F.translate(c, "åäöü", "{|}y")
+    if loc.startswith(("da", "no", "nb", "nn")):
+        return F.translate(c, "æøå", "{|}")
+    return c

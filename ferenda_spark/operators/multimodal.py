@@ -108,8 +108,11 @@ def extract_features(
 
 
 def real_decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
-    """The production codec seam. Requires PIL/librosa/ffmpeg, which
-    this container does not ship."""
+    """The production IMAGE/AUDIO/VIDEO codec seam. Requires
+    PIL/librosa/ffmpeg, which this container does not ship.
+    DOCUMENT payloads (docx/pdf) do NOT go through this seam — they
+    have real dependency-free codecs in
+    ferenda_spark.sources.office (read_office)."""
     raise NotImplementedError(
         "real media decode requires PIL/librosa/ffmpeg; pass a decode_fn "
         "built on those at deployment — the Spark plumbing is unchanged"

@@ -71,16 +71,32 @@ def toc_pagesets(df: DataFrame, title_col: str) -> DataFrame:
 
 
 def toc_select_for_pages(
-    df: DataFrame, title_col: str, id_col: str, per_page: int = 3
+    df: DataFrame,
+    title_col: str,
+    id_col: str,
+    per_page: int = 3,
+    collate_locale: str | None = None,
 ) -> DataFrame:
     """A2 toc_select_for_pages: group rows by selector, keep the
     first `per_page` per group ordered by title sortkey (ties by id).
-    Window row_number, not a driver-side group loop."""
+    Window row_number, not a driver-side group loop.
+
+    `collate_locale` switches the sortkey to the locale collation
+    key (documentrepository.py:2950-2952 sorts TOC values with
+    locale.strxfrm under repo.collate_locale) — e.g. 'sv_SE' puts
+    å/ä/ö after z in the correct order, entirely JVM-side."""
+    from ferenda_spark.functions.scalars import collation_key
+
+    sortkey = (
+        collation_key(F.col(title_col), collate_locale)
+        if collate_locale
+        else title_sortkey(F.col(title_col))
+    )
     w = Window.partitionBy("letter").orderBy("sortkey", id_col)
     return (
         df.select(
             firstletter(F.col(title_col)).alias("letter"),
-            title_sortkey(F.col(title_col)).alias("sortkey"),
+            sortkey.alias("sortkey"),
             F.col(title_col).alias("title"),
             F.col(id_col),
         )

@@ -1140,6 +1140,47 @@ FROM d LEFT JOIN f ON d.doc_uri = f.subj
 """
 
 
+#: Deterministic literals exercising the locale collation key —
+#: codepoint order would sort ä < å < ö (wrong for sv_SE);
+#: strxfrm-correct order is å < ä < ö after z, ü as y, é folded.
+COLLATE_TITLES = [
+    "Ärlig", "Zebra", "Åsna", "Öga", "Apelsin",
+    "Väg", "Üte", "Élan", "banan", "Wien",
+]
+
+
+def q_toc_collate(spark, sf_dir):
+    """A1 locale-collated TOC value sort
+    (documentrepository.py:2950-2952 strxfrm under collate_locale),
+    restated as the JVM-side collation_key scalar.  Input is a
+    bounded literal list (the operator, not the data, is under
+    test), so the no-partition window ranks ≤10 rows."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.functions.scalars import collation_key
+
+    t = spark.createDataFrame([(x,) for x in COLLATE_TITLES], ["title"])
+    w = Window.orderBy("key", "title")
+    return (
+        t.select("title", collation_key(F.col("title"), "sv_SE").alias("key"))
+        .select("title", F.row_number().over(w).cast("long").alias("rnk"))
+    )
+
+
+def _oracle_toc_collate() -> str:
+    rows = ", ".join(f"('{t}')" for t in COLLATE_TITLES)
+    key = (
+        "translate(translate(lower(title), "
+        "'éèêëáàâíìîóòôúùû', 'eeeeaaaiiiooouuu'), 'åäöü', '{|}y')"
+    )
+    return f"""
+WITH t(title) AS (VALUES {rows}),
+k AS (SELECT title, {key} AS key FROM t)
+SELECT title, CAST(ROW_NUMBER() OVER (ORDER BY key, title) AS BIGINT) AS rnk
+FROM k
+"""
+
+
 def q_search_parentchild(spark, sf_dir):
     """S7 parent/child search (ES has_parent/has_child,
     fulltextindex.py:890-910): parents = docs, children = sections;
@@ -1298,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_slices": q_stats_slices,
         "toc_pagesets": q_toc_pagesets,
         "toc_pages": q_toc_pages,
+        "toc_collate": q_toc_collate,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "union_dedup": q_union_dedup,
@@ -1343,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_slices": ORACLE_STATS,
         "toc_pagesets": ORACLE_TOC_PAGESETS,
         "toc_pages": ORACLE_TOC_PAGES,
+        "toc_collate": _oracle_toc_collate(),
         "semi_join": ORACLE_SEMI,
         "anti_join": ORACLE_ANTI,
         "union_dedup": ORACLE_UNION_DEDUP,

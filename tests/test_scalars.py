@@ -75,3 +75,27 @@ def test_wildcard_rewrite(spark):
     )
     got = [r["s"] for r in df.filter(F.col("s").rlike(rx)).collect()]
     assert got == ["fooXYZbar.baz", "foobar.baz"]
+
+
+def test_collation_key_swedish(spark):
+    """documentrepository.py:2950-2952 strxfrm analog: å ä ö after z
+    in that order (codepoint order would give ä < å < ö)."""
+    from ferenda_spark.functions.scalars import collation_key
+    from pyspark.sql import functions as F
+
+    titles = ["Ärlig", "Zebra", "Åsna", "Öga", "Apelsin", "Väg", "Üte", "Élan"]
+    df = spark.createDataFrame([(t,) for t in titles], ["t"])
+    got = [
+        r["t"]
+        for r in df.orderBy(collation_key(F.col("t"), "sv_SE"), "t").collect()
+    ]
+    assert got == ["Apelsin", "Élan", "Väg", "Üte", "Zebra", "Åsna", "Ärlig", "Öga"]
+    # danish: æ ø å after z in that order
+    dk = ["Åben", "Ørn", "Æble", "Zoo"]
+    df = spark.createDataFrame([(t,) for t in dk], ["t"])
+    got = [r["t"] for r in df.orderBy(collation_key(F.col("t"), "da_DK"), "t").collect()]
+    assert got == ["Zoo", "Æble", "Ørn", "Åben"]
+    # no locale: accent-fold only
+    df = spark.createDataFrame([("Élan",), ("ebb",)], ["t"])
+    got = [r["t"] for r in df.orderBy(collation_key(F.col("t"), None), "t").collect()]
+    assert got == ["ebb", "Élan"]
