@@ -114,24 +114,32 @@ def shingle_base_hash(col):
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
     """Per (id, seed): min over shingles of the seed's affine hash.
 
-    md5 runs ONCE per shingle; the n_hashes variants are integer
-    multiply-adds.  posexplode feeds a partially-aggregated groupBy —
-    shuffle rows = |docs| × n_hashes, independent of shingle count,
-    each row a long instead of a 32-byte hex string.
+    md5 runs ONCE per shingle (base is a projected column, so no
+    reliance on expression CSE); the n_hashes variants are integer
+    multiply-adds evaluated as n_hashes MIN aggregate columns over
+    one groupBy("id") — the aggregation hash map sees |shingles|
+    rows once instead of |shingles|×n_hashes exploded rows, and the
+    shuffle carries |docs| rows of n_hashes longs.  The (id, seed,
+    minhash) long format the LSH bander consumes is unpivoted AFTER
+    aggregation, when only |docs| rows remain.
     Output (id, seed, minhash: long).
     """
-    base = shingle_base_hash(F.col("shingle"))
-    hs = F.array(
-        *[
-            (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_PRIME)
-            for a, b in MINHASH_AB[:n_hashes]
-        ]
+    base_rows = shingles.select(
+        "id", shingle_base_hash(F.col("shingle")).alias("base")
     )
-    return (
-        shingles.select("id", F.posexplode(hs).alias("seed", "h"))
-        .groupBy("id", F.col("seed").cast("int").alias("seed"))
-        .agg(F.min("h").alias("minhash"))
-    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("base") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:n_hashes])
+    ]
+    sig_wide = base_rows.groupBy("id").agg(*aggs)
+    return sig_wide.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
+        ).alias("seed", "minhash"),
+    ).select("id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
 def lsh_candidate_pairs(

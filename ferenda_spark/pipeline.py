@@ -116,21 +116,28 @@ def build_kg(
     triples_raw, docids, linked, mentions_t = _assemble_triples(
         spark, segments, mentions, cfg
     )
-    # triples_raw feeds BOTH the sameAs extraction (consumed
-    # iteratively by CC) and the rewrite — without this persist the
-    # whole mention+emit DAG executes twice
-    triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
-
-    sameas = triples_raw.filter(F.col("pred") == OWL_SAMEAS).select(
+    # owl:sameAs triples are emitted ONLY by emit_sameas_triples
+    # (over the persisted `linked` distinct labels), so CC's input
+    # comes straight from that emitter instead of filtering the full
+    # triples_raw union — which means triples_raw has exactly ONE
+    # consumer (the rewrite) and needs no multi-million-row persist:
+    # its upstream segments/mentions are cached and the emit layer
+    # is pure column work.  connected_components eagerly
+    # localCheckpoints its (tiny) edge input, so no persist here
+    # either.
+    sameas = emit_sameas_triples(linked, cfg).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     if extra_sameas is not None:
         sameas = sameas.unionByName(extra_sameas.select("src", "dst"))
-    # CC iterates over its input — materialize the edge set once so
-    # each star round doesn't re-filter the full triples scan
-    sameas = sameas.persist(StorageLevel.MEMORY_AND_DISK)
     canon = connected_components(sameas)
-    triples = rewrite_triples(triples_raw, canon)
+    # triples is the fan-out point (caller count, relate_edges,
+    # validations all read it) — persist HERE, the canonical final
+    # table, rather than the pre-rewrite raw union: one full
+    # materialization instead of two
+    triples = rewrite_triples(triples_raw, canon).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     doc_directory = docids.select(
         doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url"

@@ -50,7 +50,7 @@ def main():
     segments = stage("segment", segment_sections(docs))
     mentions = stage("mentions", detect_mentions(segments))
     t0 = time.time()
-    triples_raw, docids = _assemble_triples(spark, segments, mentions, cfg)
+    triples_raw, docids, _, _ = _assemble_triples(spark, segments, mentions, cfg)
     triples_raw = triples_raw.persist(StorageLevel.MEMORY_AND_DISK)
     n = triples_raw.count()
     t["emit"] = round(time.time() - t0, 2)
