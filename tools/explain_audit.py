@@ -121,6 +121,41 @@ def main():
         )
     )
 
+    # 8. parent/child search: child side partial-aggregated, ranking
+    # take-ordered, no global no-partition window
+    pc_parents = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    pc_children = spark.createDataFrame(
+        [(1, "b x"), (2, "y")], ["doc_id", "text"]
+    )
+    from ferenda_spark.operators.search import search_parent_child
+
+    checks.append(
+        (
+            "search_parentchild",
+            search_parent_child(pc_parents, pc_children, q="b"),
+            [
+                ("child agg partial", lambda p: "HashAggregate" in p),
+                ("rank via take-ordered", lambda p: "TakeOrderedAndProject" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
+    # 9. feed archive windows: pure arithmetic — no Window, no Sort
+    checks.append(
+        (
+            "feed_windows",
+            catalog.q_feed_windows(spark, SF),
+            [
+                ("no window operator", lambda p: "Window" not in p),
+                ("no global sort", lambda p: "Sort " not in p and "SortExec" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
