@@ -288,3 +288,84 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
             ).alias("simhash")
         )
     )
+
+
+def fuzzy_dedup_clusters(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end fuzzy dedup, the full chain a training-data
+    pipeline actually runs before dropping duplicates:
+
+        shingle → MinHash → LSH candidates → exact-Jaccard verify
+        → connected components → per-doc cluster assignment
+
+    (MinHash-LSH clustering as in Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — candidates from
+    band collisions, verified edges, transitively closed.)
+
+    Verification is PER-CANDIDATE, not all-pairs: each doc's
+    distinct shingle set is collected into one array row (bounded by
+    doc length, not corpus size) and candidate pairs join these sets
+    back for `array_intersect` — shuffle volume is O(|candidates| ×
+    doc-shingles), never the all-pairs shingle join.  Components are
+    closed with the size-aware CC used for owl:sameAs
+    canonicalization (ids zero-padded so the string-min root IS the
+    numeric-min member).  Every document appears in the output;
+    docs with no verified edge (including docs shorter than k
+    tokens) are their own singleton cluster.
+
+    Output (id, cluster_rep, cluster_size, is_dup) — is_dup marks
+    every non-representative member, i.e. the rows a keep-one-
+    per-cluster policy would drop.
+    """
+    from ferenda_spark.operators.canonicalize import connected_components
+
+    sh = word_shingles(docs, text_col, id_col, k)
+    sig = minhash_signatures(sh, n_hashes)
+    cand = lsh_candidate_pairs(
+        sig, bands, rows_per_band, max_bucket_size=max_bucket_size
+    )
+    sets_ = sh.groupBy("id").agg(F.collect_set("shingle").alias("ss"))
+    verified = (
+        cand.join(
+            sets_.select(F.col("id").alias("id_a"), F.col("ss").alias("sa")), "id_a"
+        )
+        .join(sets_.select(F.col("id").alias("id_b"), F.col("ss").alias("sb")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn(
+            "jac",
+            F.col("inter")
+            / (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b")
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    canon = connected_components(
+        verified.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    )
+    rep_map = canon.select(
+        F.col("uri").cast("long").alias("id"),
+        F.col("canon_uri").cast("long").alias("rep"),
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    assigned = ids.join(rep_map, "id", "left").select(
+        "id", F.coalesce("rep", F.col("id")).alias("cluster_rep")
+    )
+    sizes = assigned.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_rep").select(
+        "id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("id") != F.col("cluster_rep")).alias("is_dup"),
+    )

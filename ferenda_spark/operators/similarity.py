@@ -426,3 +426,117 @@ def neardup_pairs(
         .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the classic coarse-quantizer scale
+    path.  Corpus vectors are assigned to their nearest centroid
+    (one inverted list per centroid); each query probes only its
+    `n_probe` nearest centroids' lists and exact-ranks inside that
+    candidate set — the per-query work drops from |corpus| to
+    ~|corpus|·n_probe/n_centroids.
+
+    The coarse quantizer is DETERMINISTIC: the `n_centroids`
+    smallest-id corpus vectors serve as centroids.  (k-means would
+    churn across engines/runs; IVF's plan shape — broadcast
+    centroids, one assignment pass, list-bucketed candidate join —
+    is independent of how centroids are picked, and determinism is
+    what makes the DuckDB twin possible.  A trained quantizer drops
+    in by replacing `cents` below.)
+
+    Plan shape: centroid matrix broadcast (n_centroids × dim doubles,
+    dimension-sized); assignment = one BLAS argmax per Arrow batch
+    emitting narrow (id, cid) rows; candidates = probe-list equi-join
+    on cid; exact re-rank joins vectors back (probe side broadcast);
+    top-k via a window PARTITIONED BY query — per-key heaps, no
+    global sort.  Ties break toward the smaller centroid / neighbor
+    id, mirrored in the SQL twin.
+
+    Output (query_id, rank, neighbor_id), rank 1..k."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    cnrm = np.linalg.norm(cmat, axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat, cnrm))
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("cid", T.LongType())]
+    )
+
+    def assign(n_best):
+        def run(batches):
+            ids_c, mat_c, nrm_c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vid = pdf["id"].to_numpy(dtype=np.int64)
+                mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+                sims = (mat @ mat_c.T) / (
+                    np.linalg.norm(mat, axis=1)[:, None] * nrm_c[None, :]
+                )
+                # lexsort: primary -sim desc, secondary centroid id asc
+                nb = min(n_best, sims.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(ids_c, sims.shape), -sims), axis=1
+                )[:, :nb]
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(vid, nb),
+                        "cid": ids_c[order].ravel(),
+                    }
+                )
+
+        return run
+
+    csrc = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    qsrc = queries.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    lists = csrc.mapInPandas(assign(1), schema)
+    probes = qsrc.mapInPandas(assign(n_probe), schema).select(
+        F.col("id").alias("query_id"), "cid"
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q_count = queries.count()
+    scored = (
+        cand.join(F.broadcast(qv) if q_count <= 100_000 else qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

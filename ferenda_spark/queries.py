@@ -506,6 +506,71 @@ FROM sums GROUP BY doc_id
 """
 
 
+#: exact-Jaccard verification threshold for the end-to-end dedup
+#: clustering chain (candidates come from the MinHash-LSH bands)
+DEDUP_CLUSTER_TAU = 0.3
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end fuzzy dedup: MinHash-LSH candidates → per-candidate
+    exact-Jaccard verify (≥ DEDUP_CLUSTER_TAU) → connected components
+    → (id, cluster_rep, cluster_size, is_dup) for EVERY document."""
+    return D.fuzzy_dedup_clusters(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        n_hashes=8,
+        bands=4,
+        rows_per_band=2,
+        threshold=DEDUP_CLUSTER_TAU,
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    seed_rows = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(D.MINHASH_AB)
+    )
+    return f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+hb AS (SELECT doc_id, {_sql_minhash_base("substr(md5(s), 1, 7)")} AS base FROM sh),
+seeds(seed, a, b) AS (SELECT * FROM (VALUES {seed_rows})),
+mh AS (SELECT doc_id, seed, MIN((a * base + b) % {D.MINHASH_PRIME}) AS minhash
+       FROM hb CROSS JOIN seeds GROUP BY 1, 2),
+banded AS (SELECT doc_id, (seed // 2) AS band,
+                  string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed) AS bucket
+           FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, array_agg(DISTINCT s) AS ss, COUNT(DISTINCT s) AS n
+         FROM sh GROUP BY 1),
+ver AS (SELECT id_a, id_b
+        FROM cand JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+        WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+              / (sa.n + sb.n - len(list_intersect(sa.ss, sb.ss)))
+              >= {DEDUP_CLUSTER_TAU}),
+e AS (SELECT id_a AS u, id_b AS v FROM ver UNION SELECT id_b, id_a FROM ver),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+reach(u, v) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u),
+rep AS (SELECT u AS id, MIN(v) AS rep FROM reach GROUP BY u),
+asg AS (SELECT d.doc_id AS id, COALESCE(rep.rep, d.doc_id) AS cluster_rep
+        FROM documents d LEFT JOIN rep ON d.doc_id = rep.id),
+sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM asg GROUP BY 1)
+SELECT asg.id, asg.cluster_rep, sz.cluster_size,
+       (asg.id != asg.cluster_rep) AS is_dup
+FROM asg JOIN sz USING (cluster_rep)
+"""
+
+
+ORACLE_DEDUP_CLUSTERS = _oracle_dedup_clusters()
+
+
 # ============================================== training-data: text analysis
 
 def q_token_count(spark, sf_dir):
@@ -614,6 +679,50 @@ def q_ann_lsh(spark, sf_dir):
     asserted in tests; no SQL twin, hyperplanes are md5-derived)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ANN_IVF_CENTROIDS = 8
+ANN_IVF_PROBE = 2
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN top-5: deterministic centroids (the
+    8 smallest-id vectors), 2-list probe, exact re-rank inside the
+    probed lists.  Exact SQL twin — the quantizer is deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {ANN_IVF_CENTROIDS}),
+asg_r AS (SELECT e.vec_id, cent.cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.cid
+                 ) AS rn
+          FROM e CROSS JOIN cent),
+asg AS (SELECT vec_id, cid FROM asg_r WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cid FROM asg_r
+          WHERE vec_id < 10 AND rn <= {ANN_IVF_PROBE}),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM probe p JOIN asg a ON p.cid = a.cid
+         WHERE a.vec_id != p.query_id),
+s AS (SELECT c.query_id, c.neighbor_id, list_cosine_similarity(q.v, n.v) AS sim
+      FROM cand c JOIN e q ON c.query_id = q.vec_id
+                 JOIN e n ON c.neighbor_id = n.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 5
+"""
 
 
 def q_neardup_threshold(spark, sf_dir):
@@ -1351,12 +1460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "neardup_threshold": q_neardup_threshold,
         "search_filters": q_search_filters,
         "search_parentchild": q_search_parentchild,
@@ -1397,11 +1508,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
         "dedup_minhash": ORACLE_DEDUP_MINHASH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "token_count": ORACLE_TOKEN_COUNT,
         "lang_id": _oracle_lang_id(),
         "quality_score": ORACLE_QUALITY,
         "fingerprint": ORACLE_FINGERPRINT,
         "ann_bruteforce": ORACLE_ANN,
+        "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,
         "search_filters": ORACLE_SEARCH,
         "search_parentchild": _oracle_search_parentchild(),

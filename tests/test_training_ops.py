@@ -192,3 +192,58 @@ def test_multimodal_features(spark):
     assert {(r.id, r.frame_ts_ms) for r in frames} == {(3, 0), (3, 1000), (3, 2000)}
     with pytest.raises(NotImplementedError):
         M.real_decode_stub(b"", "image", 8)
+
+
+def test_fuzzy_dedup_clusters(docs):
+    out = {
+        r.id: (r.cluster_rep, r.cluster_size, r.is_dup)
+        for r in D.fuzzy_dedup_clusters(
+            docs, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    assert len(out) == 6                       # every doc appears
+    assert out[0] == (0, 3, False)             # 0,1,2 one cluster, rep=min
+    assert out[1] == (0, 3, True)
+    assert out[2] == (0, 3, True)
+    assert out[3] == (3, 1, False)             # unrelated → singleton
+    assert out[4] == (4, 1, False)             # shorter than k → singleton
+    assert out[5] == (5, 1, False)
+
+
+def test_fuzzy_dedup_transitive_closure(spark):
+    # a~b and b~c but a,c share < tau: one cluster of 3 via closure
+    rows = [
+        (10, "aa bb cc dd ee ff gg hh"),
+        (11, "aa bb cc dd ee ff xx yy"),   # overlaps 10 strongly
+        (12, "cc dd ee ff xx yy zz ww"),   # overlaps 11, weakly 10
+        (13, "qq rr ss tt uu vv"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.id: r.cluster_rep
+        for r in D.fuzzy_dedup_clusters(df, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert out[10] == out[11] == out[12] == 10
+    assert out[13] == 13
+
+
+def test_ivf_topk_recall_and_contract(spark, embeddings):
+    exact = S.brute_force_topk(embeddings, embeddings.filter(F.col("vec_id") < 5), k=5)
+    ivf = S.ivf_topk(
+        embeddings,
+        embeddings.filter(F.col("vec_id") < 5),
+        k=5,
+        n_centroids=8,
+        n_probe=4,
+    )
+    got = ivf.collect()
+    # contract: ranks are 1..k' dense per query, k' <= 5
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    iv = {(r.query_id, r.neighbor_id) for r in got}
+    # probing half the lists on random vectors: expect decent overlap
+    assert len(ex & iv) / len(ex) >= 0.4

@@ -61,19 +61,22 @@ def main():
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     canon = connected_components(sameas).persist()
-    print(f"cc: {round(time.time()-t0,2)}s ({canon.count()} rows)", flush=True)
+    n = canon.count()
     t["cc"] = round(time.time() - t0, 2)
+    print(f"cc: {t['cc']}s ({n} rows)", flush=True)
 
     t0 = time.time()
     triples = rewrite_triples(triples_raw, canon).persist(StorageLevel.MEMORY_AND_DISK)
-    print(f"rewrite: {round(time.time()-t0,2)}s ({triples.count()} rows)", flush=True)
+    n = triples.count()
     t["rewrite"] = round(time.time() - t0, 2)
+    print(f"rewrite: {t['rewrite']}s ({n} rows)", flush=True)
 
     t0 = time.time()
     doc_directory = docids.select(doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url")
     edges = relate_edges(triples, doc_directory)
-    print(f"relate: {round(time.time()-t0,2)}s ({edges.count()} rows)", flush=True)
+    n = edges.count()
     t["relate"] = round(time.time() - t0, 2)
+    print(f"relate: {t['relate']}s ({n} rows)", flush=True)
 
     total = round(time.time() - t0_all, 2)
     print(f"TOTAL {master} docs={docs_n}: {total}s  ({docs_n/total:.0f} docs/s)")
