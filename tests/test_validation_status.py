@@ -17,6 +17,7 @@ from ferenda_spark.streaming.resume import (
     LINEAGE_SCHEMA,
     build_stats,
     run_bucketed_stage,
+    run_global_stage,
     status_report,
     with_bucket,
 )
@@ -163,3 +164,42 @@ def test_bucketed_stage_per_chunk_commit_and_partial_resume(spark):
         for r in got:
             want = "v1" if r["url_bucket"] in kept_buckets else "v2"
             assert r["marker"] == want, (r, kept_buckets)
+
+
+def test_global_stage_crash_between_write_and_lineage(spark):
+    """Crash window of run_global_stage: output parquet landed but
+    the lineage append never ran.  On resume the stage must re-run
+    (done set lacks -1) and the overwrite must be idempotent; once
+    lineage IS present, the builder must not be invoked again."""
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "canon")
+        lin = os.path.join(tmp, "lineage")
+        calls = []
+
+        def build(marker):
+            def fn():
+                calls.append(marker)
+                return spark.createDataFrame(
+                    [(1, marker)], ["id", "marker"]
+                )
+            return fn
+
+        # simulate the crash: the stage's write succeeded but the
+        # process died before the lineage append -> out exists, no
+        # lineage file at all
+        build("v1")().write.mode("overwrite").parquet(out)
+        assert not os.path.exists(lin)
+
+        got = run_global_stage(spark, "g", build("v2"), out, lin, "r2", resume=True)
+        # re-ran (idempotent overwrite), did not trust the orphan output
+        assert calls == ["v1", "v2"]
+        assert [r["marker"] for r in got.collect()] == ["v2"]
+        lineage = spark.read.parquet(lin).collect()
+        assert [(r["stage"], r["partition_id"], r["status"]) for r in lineage] == [
+            ("g", -1, "ok")
+        ]
+
+        # lineage now ok -> a further resume skips the builder entirely
+        got2 = run_global_stage(spark, "g", build("v3"), out, lin, "r3", resume=True)
+        assert calls == ["v1", "v2"]
+        assert [r["marker"] for r in got2.collect()] == ["v2"]
