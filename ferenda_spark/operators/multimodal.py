@@ -108,13 +108,15 @@ def extract_features(
 
 
 def real_decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
-    """The production IMAGE/AUDIO/VIDEO codec seam. Requires
-    PIL/librosa/ffmpeg, which this container does not ship.
+    """The production AUDIO/VIDEO codec seam. Requires
+    librosa/ffmpeg, which this container does not ship.
     DOCUMENT payloads (docx/pdf) do NOT go through this seam — they
     have real dependency-free codecs in
-    ferenda_spark.sources.office (read_office)."""
+    ferenda_spark.sources.office (read_office) — and neither do PNG
+    IMAGES (ferenda_spark.sources.png, the default resize_images
+    codec)."""
     raise NotImplementedError(
-        "real media decode requires PIL/librosa/ffmpeg; pass a decode_fn "
+        "real audio/video decode requires librosa/ffmpeg; pass a decode_fn "
         "built on those at deployment — the Spark plumbing is unchanged"
     )
 
@@ -130,14 +132,29 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _fake_rgb_decode(payload: bytes, width: int, height: int):
-    """Deterministic stand-in for an image codec: PCG64 seeded from
-    the payload md5 → H×W×3 uint8 array.  The *resize math* applied
-    to it is real; only this byte→pixels step is the stubbed seam."""
+    """Deterministic stand-in for non-PNG image codecs: PCG64 seeded
+    from the payload md5 → H×W×3 uint8 array.  PNG payloads never
+    reach this — _default_rgb_decode routes them through the real
+    decoder in ferenda_spark.sources.png."""
     import numpy as np
 
     seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "big")
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def _default_rgb_decode(payload: bytes, width: int, height: int):
+    """Default resize_images codec: REAL dependency-free PNG decode
+    (magic-sniffed, sources/png.py — zlib inflate + scanline
+    unfilter + alpha composite); deterministic fake for other
+    formats (JPEG etc. need libjpeg — pass a PIL decode_rgb at
+    deployment).  The meta dims are a hint only: real decodes trust
+    the IHDR."""
+    from ferenda_spark.sources.png import PNG_MAGIC, decode_png
+
+    if payload and bytes(payload[:8]) == PNG_MAGIC:
+        return decode_png(bytes(payload))
+    return _fake_rgb_decode(payload, width, height)
 
 
 def resize_images(
@@ -147,18 +164,22 @@ def resize_images(
     decode_rgb: Callable[[bytes, int, int], "object"] | None = None,
 ) -> DataFrame:
     """Image resize over mapInPandas: decode each payload to an
-    H×W×3 array (pluggable codec; deterministic fake by default),
-    resize with REAL nearest-neighbor index math in numpy, emit the
-    raw RGB bytes plus the new dims.  Output (id, width, height,
-    rgb) — payload and meta are projected out so only
+    H×W×3 array (real PNG codec by default — sources/png.py — with
+    a deterministic fake for formats whose codecs the container
+    lacks), resize with REAL nearest-neighbor index math in numpy,
+    emit the raw RGB bytes plus the new dims.  Output (id, width,
+    height, rgb) — payload and meta are projected out so only
     out_w·out_h·3 bytes per row continue downstream.
 
-    Rows without payload or meta dims are dropped (the reference
-    skips undecodable sources and logs; the count difference is the
-    metric)."""
+    Rows without payload or meta dims, and payloads the codec
+    rejects (truncated/corrupt — ValueError/zlib.error), are
+    dropped (the reference skips undecodable sources and logs; the
+    count difference is the metric)."""
+    import zlib
+
     import numpy as np
 
-    decode = decode_rgb or _fake_rgb_decode
+    decode = decode_rgb or _default_rgb_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,7 +190,10 @@ def resize_images(
                 w, h = meta.get("width"), meta.get("height")
                 if not w or not h:
                     continue
-                img = decode(bytes(payload), int(w), int(h))
+                try:
+                    img = decode(bytes(payload), int(w), int(h))
+                except (ValueError, zlib.error):
+                    continue
                 # nearest-neighbor: src index = floor((dst + 0.5) * src/dst)
                 ys = np.minimum(
                     ((np.arange(out_h) + 0.5) * img.shape[0] / out_h).astype(int),

@@ -156,6 +156,20 @@ def main():
         )
     )
 
+    # 10. locale-collated TOC sort: the collation key is pure column
+    # expressions (functions/scalars.collation_key) — no Python
+    # anywhere in the plan, and the page sort is a bounded top-k
+    checks.append(
+        (
+            "toc_collate",
+            catalog.q_toc_collate(spark, SF),
+            [
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
