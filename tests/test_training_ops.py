@@ -53,6 +53,30 @@ def test_minhash_lsh_candidates(docs):
     assert (0, 3) not in cands
 
 
+def test_lsh_bucket_cap_bounds_boilerplate(spark):
+    """Pathological boilerplate corpus: 30 byte-identical docs share
+    EVERY band bucket, so uncapped LSH emits all 30·29/2 pairs; with
+    max_bucket_size=10 the counted semi-join drops those buckets
+    before the self-join and the candidate set is bounded (here: 0
+    from the hot bucket).  A small legit near-dup pair in the same
+    corpus — below the cap — must survive."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(30)]
+    rows += [(100, "zebra yak xylophone walrus vulture unicorn tiger snake"),
+             (101, "zebra yak xylophone walrus vulture unicorn tiger snake")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = D.minhash_signatures(
+        D.word_shingles(docs, "text", "doc_id", k=3), n_hashes=8
+    )
+    uncapped = D.lsh_candidate_pairs(sig, 4, 2, max_bucket_size=None).collect()
+    assert len({(r.id_a, r.id_b) for r in uncapped}) >= 30 * 29 // 2
+    capped = {(r.id_a, r.id_b)
+              for r in D.lsh_candidate_pairs(sig, 4, 2, max_bucket_size=10).collect()}
+    assert (100, 101) in capped          # legit small bucket survives
+    assert not any(a < 100 and b < 100 for a, b in capped)  # hot bucket dropped
+    assert len(capped) < 30 * 29 // 2
+
+
 def test_simhash_properties(docs):
     rows = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
     assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in rows.values())
