@@ -107,6 +107,7 @@ def main() -> None:
 
     reps = int(os.environ.get("BENCH_KG_REPS", "2"))
     kg_secs, n_triples, kg = None, 0, None
+    rep_secs: list[float] = []
     for rep in range(max(1, reps)):
         spark.catalog.clearCache()
         pages = spark.read.parquet(pages_path).persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,6 +117,7 @@ def main() -> None:
         n_triples = kg.triples.count()
         secs = time.time() - t0
         print(f"# kg_pipeline rep{rep}: {secs:.3f}s", file=sys.stderr)
+        rep_secs.append(round(secs, 3))
         kg_secs = secs if kg_secs is None else min(kg_secs, secs)
     t1 = time.time()
     n_edges = kg.edges.count()
@@ -136,6 +138,7 @@ def main() -> None:
             "triples": n_triples,
             "edges": n_edges,
             "pipeline_sec": round(kg_secs, 3),
+            "rep_secs": rep_secs,
             "triples_per_sec": round(n_triples / kg_secs, 1),
             "docs_per_sec": round(n_docs / kg_secs, 1),
         },
