@@ -327,6 +327,31 @@ SELECT o_custkey, o_orderkey, rn FROM r WHERE rn <= 2
 """
 
 
+def q_recrawl_changes(spark, sf_dir):
+    """Recrawl delta detection, batch twin of the stateful streaming
+    operator (streaming/stateful.py; reference needed() skip,
+    documentstore.py:400-470): per user_id in ts order, keep only
+    rows whose event_type differs from the previous one — 'new' for
+    a key's first row, 'changed' after.  One shuffle on the key."""
+    from ferenda_spark.streaming.stateful import changed_rows
+
+    ev = _t(spark, sf_dir, "events")
+    return changed_rows(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    ).select("user_id", "event_id", "ts", "event_type", "change_kind")
+
+
+ORACLE_RECRAWL = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, event_id, ts, event_type,
+       CASE WHEN prev IS NULL THEN 'new' ELSE 'changed' END AS change_kind
+FROM seq WHERE prev IS NULL OR event_type <> prev
+"""
+
+
 def _nation_edges(spark, sf_dir):
     li, od = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     cu, su = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
@@ -1455,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginate": q_paginate,
         "feed_windows": q_feed_windows,
         "window_topn": q_window_topn,
+        "recrawl_changes": q_recrawl_changes,
         "pagerank_nations": q_pagerank_nations,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1503,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "paginate": ORACLE_PAGINATE,
         "feed_windows": ORACLE_FEED_WINDOWS,
         "window_topn": ORACLE_WINDOW_TOPN,
+        "recrawl_changes": ORACLE_RECRAWL,
         "pagerank_nations": _oracle_pagerank(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,
