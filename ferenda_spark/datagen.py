@@ -310,6 +310,54 @@ def pages_rows(seed: int, lo: int, hi: int, n_docs: int, cfg: PipelineConfig | N
         }
 
 
+def pages_rows_v2(
+    seed: int,
+    seed2: int,
+    lo: int,
+    hi: int,
+    n_docs: int,
+    n_new: int,
+    change_every: int,
+    cfg: PipelineConfig | None = None,
+):
+    """Rows [lo, hi) of SNAPSHOT 2 of the pages table — a full
+    recrawl of the seed-`seed` corpus (the reference recrawls every
+    source and relies on needed()/DocumentEntry to skip unchanged
+    downloads, documentstore.py:400-470):
+
+    - ``i % change_every == 0`` (i < n_docs): REVISED — content
+      respun from `seed2` under the SAME url (host pinned from the
+      v1 spec; rfc_num = 1000+i is seed-independent, so the docid is
+      stable and the revision replaces the old doc in place),
+      warc_ts advanced one day past the v1 crawl
+    - other ``i < n_docs``: byte-identical recrawl of the v1 page
+    - ``i >= n_docs`` (up to n_docs+n_new): brand-new docs from
+      `seed2`
+    """
+    cfg = cfg or PipelineConfig()
+    for i in range(lo, hi):
+        if i < n_docs and i % change_every != 0:
+            yield from pages_rows(seed, i, i + 1, n_docs, cfg)
+            continue
+        if i < n_docs:
+            v1 = make_doc_spec(seed, i, n_docs, cfg)
+            spec = make_doc_spec(seed2, i, n_docs, cfg)
+            spec.url, spec.host = v1.url, v1.host
+            spec.warc_ts = datetime.fromtimestamp(
+                v1.warc_ts.timestamp() + 86400, tz=timezone.utc
+            )
+        else:
+            spec = make_doc_spec(seed2, i, n_docs + n_new, cfg)
+        text = render_text(spec)
+        yield {
+            "url": spec.url,
+            "warc_ts": spec.warc_ts,
+            "html": render_html(spec, text),
+            "text": text,
+            "lang": spec.lang,
+        }
+
+
 # ---------------------------------------------------------------- golden
 
 def expected_doc_triples(spec: DocSpec, cfg: PipelineConfig | None = None):

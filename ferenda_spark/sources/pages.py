@@ -62,6 +62,49 @@ def synth_pages(
     )
 
 
+def synth_pages_v2(
+    spark: SparkSession,
+    n_docs: int,
+    n_new: int = 0,
+    change_every: int = 5,
+    seed: int = 42,
+    seed2: int = 137,
+    cfg: PipelineConfig | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic SNAPSHOT 2 of the `synth_pages(n_docs, seed)`
+    corpus: a full recrawl where every change_every-th doc is revised
+    in place (same url/docid, new content from seed2), n_new docs are
+    brand new, and the rest recrawl byte-identical — the input shape
+    for `pipeline.incremental_kg` / `streaming.stateful`."""
+    cfg = cfg or PipelineConfig()
+    total = n_docs + n_new
+    partitions = partitions or max(8, min(256, total // 256 or 8))
+
+    def gen(batches):
+        import pandas as pd
+
+        from ferenda_spark.datagen import pages_rows_v2
+
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            if not ids:
+                continue
+            rows = []
+            for i in ids:
+                rows.extend(
+                    pages_rows_v2(
+                        seed, seed2, int(i), int(i) + 1, n_docs, n_new,
+                        change_every, cfg,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, total, 1, partitions).mapInPandas(
+        gen, schema=PAGES_SCHEMA
+    )
+
+
 def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
     w = df.write.mode(mode)
     if partition_by:
