@@ -326,9 +326,15 @@ def fuzzy_dedup_clusters(
     every non-representative member, i.e. the rows a keep-one-
     per-cluster policy would drop.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from ferenda_spark.operators.canonicalize import connected_components
 
-    sh = word_shingles(docs, text_col, id_col, k)
+    # the shingle table feeds BOTH the signature path and the
+    # exact-verify sets; persist so tokenization runs once
+    sh = word_shingles(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, n_hashes)
     cand = lsh_candidate_pairs(
         sig, bands, rows_per_band, max_bucket_size=max_bucket_size
