@@ -134,6 +134,70 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_secs, 3)
     timings["kg_relate"] = round(kg_edges_secs, 3)
 
+    # incremental rebuild over a 2% recrawl delta: the production
+    # shape is stored stage tables (Iceberg) + a new pages snapshot,
+    # so the prior build's outputs are materialized to parquet
+    # UNTIMED (they are the previous run's artifact, not this run's
+    # work), then the rebuild is timed end-to-end from stored state
+    # to materialized triples.  Skipped in scaling runs
+    # (BENCH_KG_ONLY), which measure full-build scaling.
+    inc = None
+    if not os.environ.get("BENCH_KG_ONLY"):
+        from ferenda_spark.pipeline import incremental_kg, kg_state
+        from ferenda_spark.sources.pages import synth_pages_v2
+
+        every, n_new = 50, max(1, n_docs // 50)  # 2% revised + 2% new
+        state_path = os.path.join("build", f"bench_kg_state_{n_docs}")
+        pages = spark.read.parquet(pages_path)
+        st = kg_state(pages, kg)
+        for name_, df_ in (
+            ("fingerprints", st.fingerprints), ("docs", st.docs),
+            ("segments", st.segments), ("mentions", st.mentions),
+        ):
+            df_.write.mode("overwrite").parquet(f"{state_path}/{name_}")
+        v2_path = os.path.join("build", f"bench_pages_v2_{n_docs}")
+        if not os.path.exists(os.path.join(v2_path, "_SUCCESS")):
+            synth_pages_v2(
+                spark, n_docs, n_new=n_new, change_every=every, seed=42
+            ).write.mode("overwrite").parquet(v2_path)
+        from ferenda_spark.pipeline import KGState
+
+        # same best-of-reps protocol as the full build (first rep
+        # pays JIT/codegen for the merge/fingerprint plans)
+        inc_secs, inc_reps, n_triples2, n_delta = None, [], 0, 0
+        for rep in range(max(1, reps)):
+            spark.catalog.clearCache()
+            stored = KGState(*[
+                spark.read.parquet(f"{state_path}/{n_}")
+                for n_ in ("fingerprints", "docs", "segments", "mentions")
+            ])
+            pages2 = spark.read.parquet(v2_path).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            pages2.count()
+            t0 = time.time()
+            kg2, delta_urls = incremental_kg(spark, pages2, stored)
+            n_triples2 = kg2.triples.count()
+            secs = time.time() - t0
+            n_delta = delta_urls.count()
+            print(
+                f"# kg_incremental rep{rep}: {secs:.3f}s "
+                f"({n_delta} changed urls of {n_docs + n_new})",
+                file=sys.stderr,
+            )
+            inc_reps.append(round(secs, 3))
+            inc_secs = secs if inc_secs is None else min(inc_secs, secs)
+        inc = {
+            "sec": round(inc_secs, 3),
+            "rep_secs": inc_reps,
+            "delta_urls": n_delta,
+            "snapshot_docs": n_docs + n_new,
+            "triples": n_triples2,
+            "full_rebuild_sec": round(kg_secs, 3),
+            "speedup_vs_full": round(kg_secs / inc_secs, 2),
+        }
+        timings["kg_incremental"] = round(inc_secs, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "e2e_headline_sec",
@@ -150,6 +214,7 @@ def main() -> None:
             "rep_secs": rep_secs,
             "triples_per_sec": round(n_triples / kg_secs, 1),
             "docs_per_sec": round(n_docs / kg_secs, 1),
+            "incremental": inc,
         },
         "host": _host_units(),
     }
