@@ -140,9 +140,10 @@ def main() -> None:
     # UNTIMED (they are the previous run's artifact, not this run's
     # work), then the rebuild is timed end-to-end from stored state
     # to materialized triples.  Skipped in scaling runs
-    # (BENCH_KG_ONLY), which measure full-build scaling.
+    # (BENCH_KG_ONLY), which measure full-build scaling;
+    # BENCH_KG_INC=1 forces it back on (large-corpus evidence runs).
     inc = None
-    if not os.environ.get("BENCH_KG_ONLY"):
+    if not os.environ.get("BENCH_KG_ONLY") or os.environ.get("BENCH_KG_INC"):
         from ferenda_spark.pipeline import incremental_kg, kg_state
         from ferenda_spark.sources.pages import synth_pages_v2
 

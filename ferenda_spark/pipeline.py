@@ -68,6 +68,15 @@ class KGResult:
     # golden-pytest-checked; the relational layer gets a DuckDB twin)
     linked: DataFrame | None = None
     mentions_t: DataFrame | None = None
+    # every DataFrame the build persisted — a long-running caller
+    # (streaming/maintain.py applies one build per micro-batch,
+    # forever) unpersists these after materializing, or executor
+    # storage grows without bound
+    cached: tuple = ()
+
+    def release(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def _assemble_triples(
@@ -165,7 +174,7 @@ def _finish_kg(
     )
     return KGResult(
         docs, segments, mentions, triples, canon, edges, sameas, doc_directory,
-        warnings, linked, mentions_t,
+        warnings, linked, mentions_t, cached=(segments, linked, triples),
     )
 
 
@@ -358,4 +367,6 @@ def incremental_kg(
         StorageLevel.MEMORY_AND_DISK
     )
     mentions = merge(state.mentions, d_mentions)
-    return _finish_kg(spark, docs, segments, mentions, cfg), delta_urls
+    result = _finish_kg(spark, docs, segments, mentions, cfg)
+    result.cached = result.cached + (delta_pages, d_segments)
+    return result, delta_urls
