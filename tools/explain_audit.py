@@ -170,6 +170,28 @@ def main():
         )
     )
 
+    # 11. incremental rebuild: the stored-table merges are BROADCAST
+    # anti-joins on the (small) delta key set — the full prior corpus
+    # is never shuffled to replace a few urls
+    from ferenda_spark.pipeline import build_kg, incremental_kg, kg_state
+    from ferenda_spark.sources.pages import synth_pages, synth_pages_v2
+
+    p1 = synth_pages(spark, 30, seed=42)
+    kg1 = build_kg(spark, p1)
+    p2 = synth_pages_v2(spark, 30, n_new=4, change_every=5, seed=42)
+    inc, _ = incremental_kg(spark, p2, kg_state(p1, kg1))
+    checks.append(
+        (
+            "incremental_merge",
+            inc.segments,
+            [
+                ("delta keys broadcast", lambda p: "BroadcastHashJoin" in p),
+                ("anti-join replace", lambda p: "LeftAnti" in p),
+                ("no sort-merge of prior corpus", lambda p: "SortMergeJoin" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
