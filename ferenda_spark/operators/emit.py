@@ -171,9 +171,11 @@ def emit_mention_triples(mentions_with_target: DataFrame, cfg: PipelineConfig) -
     ).otherwise(
         F.concat(doc_uri_col(cfg, F.col("docid")), F.lit("#"), F.col("frag_id"))
     )
-    return m.select(
-        *_t(subj, DCT + "references", F.col("target_uri"), True)
-    ).dropDuplicates()
+    # NO dedup here: repeat citations (~2% of mention rows) are
+    # removed by rewrite_triples' terminal dropDuplicates(s,p,o)
+    # anyway — a dedup at this stage would shuffle the full mention
+    # set a second time for nothing
+    return m.select(*_t(subj, DCT + "references", F.col("target_uri"), True))
 
 
 def emit_sameas_triples(entity_labels: DataFrame, cfg: PipelineConfig) -> DataFrame:
