@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_ivf",
     "neardup_threshold",
     "search_filters",
+    "search_facets",
     "search_parentchild",
 ]
 

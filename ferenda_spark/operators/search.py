@@ -93,6 +93,38 @@ def apply_filters(df: DataFrame, filters: dict) -> DataFrame:
     return df
 
 
+def _and_match(df: DataFrame, toks: list, q_fields: tuple) -> tuple:
+    """AND-semantics freetext match (fulltextindex.py:873-877
+    default_operator='and'): every token must occur in some default
+    field; returns (filtered df, summed-occurrence score column)."""
+    occ_cols = []
+    for tok in toks:
+        occ = sum(
+            (_occurrences(F.col(fld), tok) for fld in q_fields[1:]),
+            _occurrences(F.col(q_fields[0]), tok),
+        )
+        occ_cols.append(occ)
+    for occ in occ_cols:
+        df = df.filter(occ >= 1)
+    score = occ_cols[0]
+    for occ in occ_cols[1:]:
+        score = score + occ
+    return df, score
+
+
+def _exclude_repos(df: DataFrame, exclude_repos, repo_col: str) -> DataFrame:
+    """must_not term filters on the repo field
+    (fulltextindex.py:940-947).  NULL repo is not excluded — ES
+    must_not(term) only rejects rows where the field HAS the value."""
+    if exclude_repos:
+        df = df.filter(
+            F.coalesce(
+                ~F.col(repo_col).isin(list(exclude_repos)), F.lit(True)
+            )
+        )
+    return df
+
+
 def search(
     docs: DataFrame,
     filters: dict | None = None,
@@ -103,13 +135,35 @@ def search(
     id_col: str = "doc_id",
     pagenum: int = 1,
     pagelen: int = 10,
+    exclude_repos: list | None = None,
+    repo_col: str = "repo",
+    include_fragments: bool = False,
+    fragment_col: str | None = None,
+    ac_query: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Compose filters + freetext AND-match + boosts + pagination.
 
     Output (id, score, rn) for one result page, ranked by score desc
     with the id as the deterministic tie-break.
+
+    - exclude_repos: drop hits of the named repos
+      (fulltextindex.py:940-947 must_not terms);
+    - fragment_col + include_fragments=False: return only top-level
+      documents — fragments are rows with a non-zero/non-null value
+      in fragment_col (the join='parent' filter,
+      fulltextindex.py:975-981; non-zero-order fragment test,
+      :1000-1004).  ac_query implies fragments stay (autocomplete
+      matches section lines, :897-906);
+    - ac_query + order_col (no q): rank by the document's natural
+      order before score — the reference's identifier-autocomplete
+      sort (fulltextindex.py:995-1000 payload sort [order asc,
+      _score]).
     """
     df = apply_filters(docs, filters)
+    df = _exclude_repos(df, exclude_repos, repo_col)
+    if fragment_col is not None and not (include_fragments or ac_query):
+        df = df.filter(F.coalesce(F.col(fragment_col), F.lit(0)) == 0)
 
     score = F.lit(1.0)
     # A q that tokenizes to nothing (e.g. all-whitespace) is the
@@ -118,19 +172,7 @@ def search(
     # (fulltextindex.py:873-877).
     toks = [t for t in q.lower().split() if t] if q else []
     if toks:
-        occ_cols = []
-        for tok in toks:
-            occ = sum(
-                (_occurrences(F.col(fld), tok) for fld in q_fields[1:]),
-                _occurrences(F.col(q_fields[0]), tok),
-            )
-            occ_cols.append(occ)
-        # AND semantics: every token somewhere in the default fields
-        for occ in occ_cols:
-            df = df.filter(occ >= 1)
-        score = occ_cols[0]
-        for occ in occ_cols[1:]:
-            score = score + occ
+        df, score = _and_match(df, toks, q_fields)
 
     if boosts:
         mult = F.lit(1.0)
@@ -140,20 +182,76 @@ def search(
             )
         score = score * mult
 
-    ranked = df.select(F.col(id_col).alias("id"), score.cast("double").alias("score"))
+    sel = [F.col(id_col).alias("id"), score.cast("double").alias("score")]
+    if ac_query and not toks and order_col is not None:
+        ranked = df.select(*sel, F.col(order_col).alias("_ord"))
+        order = [F.asc("_ord"), F.desc("score"), F.asc("id")]
+    else:
+        ranked = df.select(*sel)
+        order = [F.desc("score"), F.asc("id")]
     # Top-(pagenum·pagelen) semantics: orderBy().limit(page-end)
     # compiles to TakeOrderedAndProject (bounded per-partition heaps
     # merged on the driver) — the no-partition row_number window
     # below only ever ranks ≤ page-end rows, never the full filtered
     # result set (same plan as query.paginate).
-    order = [F.desc("score"), F.asc("id")]
     lo, hi = (pagenum - 1) * pagelen, pagenum * pagelen
     top = ranked.orderBy(*order).limit(hi)
     w = Window.orderBy(*order)
     return (
         top.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .select("id", "score", "rn")
     )
+
+
+def search_aggregations(
+    docs: DataFrame,
+    dims: tuple[str, ...],
+    filters: dict | None = None,
+    q: str | None = None,
+    q_fields: tuple[str, ...] = ("text",),
+    exclude_repos: list | None = None,
+    repo_col: str = "repo",
+    year_dims: tuple[str, ...] = (),
+    size: int = 100,
+) -> DataFrame:
+    """Facet counts over the hit set — the reference attaches an
+    aggregation payload to every non-autocomplete search
+    (fulltextindex.py:956, :1015-1033 _aggregation_payload): a terms
+    aggregation per facet dimension (top `size` values by doc count)
+    and a year date-histogram for date-typed dimensions
+    (min_doc_count=1 ≙ groupBy emits only seen values).
+
+    Output (dim, value, n) rows.  Plan per dimension: one
+    partial-aggregated groupBy over the filtered scan + a
+    TakeOrdered top-`size`; the scan is shared via one filtered
+    projection, never a per-facet rescan of the raw table."""
+    df = apply_filters(docs, filters)
+    df = _exclude_repos(df, exclude_repos, repo_col)
+    toks = [t for t in q.lower().split() if t] if q else []
+    if toks:
+        df, _ = _and_match(df, toks, q_fields)
+
+    parts = []
+    for d in dims:
+        val = (
+            F.year(F.col(d)).cast("string")
+            if d in year_dims
+            else F.col(d).cast("string")
+        )
+        agg = (
+            df.filter(val.isNotNull())
+            .groupBy(val.alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("value"))
+            .limit(size)
+            .select(F.lit(d).alias("dim"), "value", F.col("n").cast("long"))
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def search_parent_child(

@@ -842,6 +842,43 @@ SELECT id, score, rn FROM r WHERE rn <= 20
 """
 
 
+def q_search_facets(spark, sf_dir):
+    """S7 search-results facet aggregation
+    (fulltextindex.py:1015-1033 _aggregation_payload): per-dimension
+    top-N value counts over the hit set of a filtered freetext query,
+    with exclude_repos must_not semantics (fulltextindex.py:940-947).
+    One shared filtered scan; one partial-agg groupBy + TakeOrdered
+    per dimension."""
+    from ferenda_spark.operators import search as SR
+
+    return SR.search_aggregations(
+        _t(spark, sf_dir, "documents"),
+        dims=("lang", "source"),
+        filters={"n_chars": SR.More(100)},
+        q="table",
+        q_fields=("text",),
+        exclude_repos=["src3"],
+        repo_col="source",
+        size=5,
+    )
+
+
+ORACLE_SEARCH_FACETS = """
+WITH f AS (
+  SELECT lang, source FROM documents
+  WHERE n_chars > 100
+    AND (source IS NULL OR source NOT IN ('src3'))
+    AND (length(lower(text)) - length(replace(lower(text), 'table', ''))) / 5 >= 1),
+l AS (SELECT 'lang' AS dim, lang AS value, CAST(COUNT(*) AS BIGINT) AS n
+      FROM f WHERE lang IS NOT NULL GROUP BY lang
+      ORDER BY n DESC, value ASC LIMIT 5),
+s AS (SELECT 'source' AS dim, source AS value, CAST(COUNT(*) AS BIGINT) AS n
+      FROM f WHERE source IS NOT NULL GROUP BY source
+      ORDER BY n DESC, value ASC LIMIT 5)
+SELECT * FROM l UNION ALL SELECT * FROM s
+"""
+
+
 # ========================================================= W3: IR evaluation
 
 def q_map_eval(spark, sf_dir):
@@ -1530,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "neardup_threshold": q_neardup_threshold,
         "search_filters": q_search_filters,
+        "search_facets": q_search_facets,
         "search_parentchild": q_search_parentchild,
         "map_eval": q_map_eval,
         "age_rank": q_age_rank,
@@ -1579,6 +1617,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,
         "search_filters": ORACLE_SEARCH,
+        "search_facets": ORACLE_SEARCH_FACETS,
         "search_parentchild": _oracle_search_parentchild(),
         "map_eval": ORACLE_MAP_EVAL,
         "age_rank": ORACLE_AGE_RANK,

@@ -178,3 +178,93 @@ def test_search_blank_q_no_error(spark):
     """ADVICE: q that tokenizes to nothing must not IndexError."""
     out = SR.search(_docs(spark), q="   ", pagelen=3).collect()
     assert len(out) == 3 and all(r["score"] == 1.0 for r in out)
+
+
+def test_exclude_repos_nulls_kept(spark):
+    """must_not term semantics (fulltextindex.py:940-947): named
+    repos dropped, NULL repo NOT dropped (ES term only rejects rows
+    where the field has the value)."""
+    rows = DOCS + [(6, "quick table extra", "en", None, date(2013, 3, 3), 17)]
+    docs = spark.createDataFrame(rows, COLS)
+    got = {
+        r["id"]
+        for r in SR.search(
+            docs, q="quick", exclude_repos=["wiki"], pagelen=10
+        ).collect()
+    }
+    assert got == {1, 2, 4, 6}  # 3 (wiki) excluded, 6 (NULL repo) kept
+
+
+def test_fragment_parent_filter(spark):
+    """join='parent' restriction (fulltextindex.py:975-981,
+    :1000-1004): fragments = rows with non-zero/non-null order;
+    include_fragments or ac_query lets them through."""
+    rows = [
+        (1, "quick", "en", "rfc", date(2013, 1, 1), 5, 0),
+        (2, "quick", "en", "rfc", date(2013, 1, 1), 5, 1),  # fragment
+        (3, "quick", "en", "rfc", date(2013, 1, 1), 5, None),
+    ]
+    docs = spark.createDataFrame(rows, COLS + ["ord"])
+    parents = {
+        r["id"]
+        for r in SR.search(docs, q="quick", fragment_col="ord", pagelen=10).collect()
+    }
+    assert parents == {1, 3}
+    withfrag = {
+        r["id"]
+        for r in SR.search(
+            docs, q="quick", fragment_col="ord", include_fragments=True, pagelen=10
+        ).collect()
+    }
+    assert withfrag == {1, 2, 3}
+
+
+def test_ac_query_natural_order(spark):
+    """Identifier autocomplete (fulltextindex.py:995-1000): no q →
+    rank by the document's natural order, fragments included."""
+    rows = [
+        (1, "s 12 first lines", "en", "rfc", date(2013, 1, 1), 16, 3),
+        (2, "s 12 other", "en", "rfc", date(2013, 1, 1), 10, 1),
+        (3, "s 12 third", "en", "rfc", date(2013, 1, 1), 10, 2),
+    ]
+    docs = spark.createDataFrame(rows, COLS + ["ord"])
+    got = [
+        r["id"]
+        for r in SR.search(
+            docs,
+            filters={"lang": "en"},
+            ac_query=True,
+            fragment_col="ord",
+            order_col="ord",
+            pagelen=10,
+        ).collect()
+    ]
+    assert got == [2, 3, 1]  # natural order, not score/id order
+
+
+def test_search_aggregations_counts_and_size(spark):
+    """_aggregation_payload restatement (fulltextindex.py:1015-1033):
+    per-dim top-N counts over the hit set; NULL values not bucketed;
+    size truncates by count desc."""
+    rows = DOCS + [(6, "quick table extra", "en", None, date(2013, 3, 3), 17)]
+    docs = spark.createDataFrame(rows, COLS)
+    out = SR.search_aggregations(
+        docs, dims=("lang", "repo"), q="quick", year_dims=()
+    ).collect()
+    got = {(r["dim"], r["value"]): r["n"] for r in out}
+    # hits of 'quick': docs 1,2,3,4,6
+    assert got[("lang", "en")] == 4 and got[("lang", "sv")] == 1
+    assert got[("repo", "rfc")] == 3 and got[("repo", "wiki")] == 1
+    assert ("repo", None) not in got  # NULL repo row not bucketed
+    top1 = SR.search_aggregations(docs, dims=("repo",), q="quick", size=1).collect()
+    assert [(r["dim"], r["value"], r["n"]) for r in top1] == [("repo", "rfc", 3)]
+
+
+def test_search_aggregations_year_histogram(spark):
+    """year dims bucket by calendar year (date_histogram,
+    min_doc_count=1 ≙ only seen years appear)."""
+    out = SR.search_aggregations(
+        _docs(spark), dims=("issued",), year_dims=("issued",)
+    ).collect()
+    got = {r["value"]: r["n"] for r in out}
+    assert got == {"2012": 1, "2013": 3, "2014": 1}
