@@ -253,10 +253,51 @@ its own cores and memory), then one local[8] on the same 8 CPUs.
 - same-window raw = host_capacity × job_scaling =
   {ctl['raw_efficiency']} (vs the cross-window best-of raw above,
   which additionally mixes weather).
-
+"""
+    if ctl["job_scaling_efficiency"] > 1:
+        md += """
+A job_scaling above 1 is measurement slack, not magic: the wide run
+samples a slightly later window than the 4-job control, and one
+shared JVM avoids the 4×-duplicated page cache and memory-bandwidth
+contention the control pays on one physical host (a real cluster's
+executors would not share that bottleneck) — read it as "no
+measurable coordination loss at 4×".
+"""
+    md += """
 Raw JSON: `BENCH/scaling_control.json`, `BENCH/control/*.json`.
 """
 except FileNotFoundError:
+    pass
+
+try:
+    inc = json.load(open("BENCH/incremental_250k.json"))["kg"]
+    i = inc["incremental"]
+    md += f"""
+## Incremental rebuild (recrawl delta) at {inc['docs']} docs
+
+The reference's needed() skip at table scale
+(`pipeline.incremental_kg`): a full recrawl snapshot with
+{i['delta_urls']} of {i['snapshot_docs']} pages revised-or-new
+rebuilt from stored stage tables instead of from scratch.  Same
+best-of protocol, local[32], one JVM, same window:
+
+| build | sec (best of reps) | corpus |
+|---|---|---|
+| full rebuild | {i['full_rebuild_sec']} {inc['rep_secs']} | {inc['docs']} docs → {inc['triples']} triples |
+| incremental, {i['delta_urls']}-url delta | {i['sec']} {i['rep_secs']} | {i['snapshot_docs']} docs → {i['triples']} triples |
+
+**{i['speedup_vs_full']}× faster while covering a larger snapshot.**
+The split matches the architecture: the Python stages
+(extract/FSM/mentions) drop to O(|delta|); the remainder is the
+relational tail (emit → CC → rewrite → relate), deliberately
+recomputed over the merged corpus because canonicalization is a
+global fixpoint — a per-doc patch of the triples table would be
+unsound.  At production recrawl ratios the tail is pure columnar
+work; the Python cost no longer scales with the corpus.  Raw JSON:
+`BENCH/incremental_250k.json` (`BENCH_KG_ONLY=1 BENCH_KG_INC=1
+BENCH_KG_DOCS={inc['docs']} python bench.py`).
+"""
+except (FileNotFoundError, KeyError):
     pass
 
 md += """
