@@ -170,6 +170,21 @@ def main():
         )
     )
 
+    # 10b. search facet aggregations: per-dim partial agg +
+    # TakeOrdered top-N, one shared scan, no Python
+    checks.append(
+        (
+            "search_facets",
+            catalog.q_search_facets(spark, SF),
+            [
+                ("partial aggregate", lambda p: "HashAggregate" in p),
+                ("top-N via take-ordered", lambda p: "TakeOrderedAndProject" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     # 11. incremental rebuild: the stored-table merges are BROADCAST
     # anti-joins on the (small) delta key set — the full prior corpus
     # is never shuffled to replace a few urls
