@@ -333,8 +333,8 @@ def incremental_kg(
     )
     # persist: the fingerprint join scans the FULL new snapshot's
     # html; without a persist every downstream consumer (the extract
-    # chain plus each merge's anti-join key set) re-runs that scan —
-    # measured 8.7 s vs 3.4 s on a 4% delta of a 5k corpus
+    # chain plus each merge's anti-join key set) re-runs that
+    # full-snapshot scan — up to 5× at 100 TB
     delta_pages = annotated.filter(
         F.col("_prior_fp").isNull() | (F.col("_fp") != F.col("_prior_fp"))
     ).drop("_fp", "_prior_fp").persist(StorageLevel.MEMORY_AND_DISK)
