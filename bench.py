@@ -47,6 +47,11 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "neardup_threshold",
+    "repetition_signals",
+    "host_split",
+    "host_aggregates",
+    "contamination",
+    "pii_scan",
     "search_filters",
     "search_facets",
     "search_parentchild",

@@ -1,0 +1,214 @@
+"""Corpus-curation operators for training-data pipelines: intra-doc
+repetition signals, deterministic host-stratified splits, per-host
+(domain) aggregates, benchmark-contamination detection, and PII
+scanning.
+
+These generalize ferenda's per-document hygiene passes (whitespace
+normalize documentrepository.py:2157, word counting :2157-2167, the
+distill/validate gates) to the corpus-level curation steps a
+large-scale LLM training-data pipeline runs (public literature:
+Gopher/C4 repetition filters, test-set decontamination by n-gram
+overlap, domain-level mixing, PII redaction).
+
+Scale notes (100 TB):
+- repetition_signals is one narrow projection (array expressions +
+  one F.aggregate fold over the sorted token array) — zero shuffle,
+  all JVM-side (the higher-order functions are interpreted, not
+  codegen'd, but never cross into Python), embarrassingly parallel.
+- host_split is a pure projection (md5-prefix bucketing) — zero
+  shuffle; every document of a host lands in the same split, so
+  near-duplicate pages within a site can never straddle train/test.
+- host_aggregates is one partial-aggregated groupBy(host); host
+  cardinality ≪ doc cardinality, so the shuffle is tiny.
+- contamination joins the corpus shingle explode against a DISTINCT
+  benchmark-shingle set; benchmark suites are small by nature
+  (≤ ~10^6 n-grams), so the join side is broadcast — the corpus side
+  never shuffles.  Past broadcast size, drop the F.broadcast hint
+  and let AQE pick (documented ceiling).
+- pii_scan is regexp column expressions — zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ferenda_spark.operators.dedup import normalize_text, word_shingles
+from ferenda_spark.operators.query import round_portable
+
+
+def _dup_frac(toks, k: int):
+    """Fraction of word k-grams occurring more than once — the
+    Gopher duplicate-n-gram-fraction repetition signal.  0.0 when
+    the doc has < k tokens (no k-grams)."""
+    n = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    frac = (n - F.size(F.array_distinct(grams))).cast("double") / n
+    return F.when(n <= 0, F.lit(0.0)).otherwise(round_portable(frac, 6))
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition features (Gopher-style quality rules):
+    (id, n_tokens, top_word_frac, dup_2gram_frac, dup_3gram_frac).
+
+    top_word_frac = occurrences of the most frequent token / tokens,
+    computed as the longest equal-run in the SORTED token array via
+    one F.aggregate fold (struct state: prev token, current run,
+    best run) — no explode, no groupBy, no shuffle; the whole
+    operator is a single JVM-side projection."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(F.array_sort(F.col("w")), zero, step, lambda acc: acc["best"])
+    n = F.size(F.col("w"))
+    return base.select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        round_portable(top.cast("double") / n, 6).alias("top_word_frac"),
+        _dup_frac(F.col("w"), 2).alias("dup_2gram_frac"),
+        _dup_frac(F.col("w"), 3).alias("dup_3gram_frac"),
+    )
+
+
+#: Split thresholds in 256ths of the md5-prefix space: a document's
+#: host hashes to its first md5 byte (2 lowercase hex chars —
+#: lexicographic order on fixed-width lowercase hex IS numeric
+#: order, in any engine); train < 230/256 (~90%), val < 243/256
+#: (~95%), else test.
+SPLIT_TRAIN_HEX = "e6"
+SPLIT_VAL_HEX = "f3"
+
+
+def host_split(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    train_hex: str = SPLIT_TRAIN_HEX,
+    val_hex: str = SPLIT_VAL_HEX,
+) -> DataFrame:
+    """Deterministic host-stratified train/val/test split:
+    (id, host, split).  ALL documents of a host share a split —
+    intra-site near-duplicates can never leak across splits (the
+    published decontamination practice).  Pure projection: no
+    shuffle, no RNG, reproducible across engines and runs."""
+    b = F.substring(F.md5(F.col(host_col)), 1, 2)
+    split = (
+        F.when(b < F.lit(train_hex), F.lit("train"))
+        .when(b < F.lit(val_hex), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.col(host_col).alias("host"), split.alias("split")
+    )
+
+
+def host_aggregates(
+    df: DataFrame,
+    host_col: str,
+    text_col: str,
+    lang_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Domain-level corpus statistics for mixing/filtering decisions:
+    per host (host, n_docs, total_tokens, mean_doc_tokens, n_langs,
+    keep).  `keep` demonstrates the domain filter rule (drop hosts
+    with < min_docs documents — tiny hosts are disproportionately
+    spam in web corpora).  One partial-aggregated groupBy; host
+    cardinality ≪ rows, so the shuffle is small."""
+    n_tok = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        df.select(F.col(host_col).alias("host"), n_tok.alias("nt"), F.col(lang_col))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            round_portable(F.sum("nt").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_doc_tokens"
+            ),
+            F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        )
+        .withColumn("keep", F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination by k-gram overlap (the published
+    GPT-3/PaLM practice: flag training documents sharing any long
+    n-gram with an evaluation benchmark).  Output one row per
+    contaminated corpus document: (id, n_hits) = number of DISTINCT
+    benchmark k-grams the document contains.
+
+    Plan: corpus shingle explode (the unavoidable wide projection)
+    ⋈ DISTINCT benchmark shingles.  Benchmark suites are small
+    (≤ ~10^6 k-grams), so the benchmark side is broadcast and the
+    corpus side NEVER shuffles; the groupBy(id) after the join is
+    partial-aggregated.  Set broadcast_benchmark=False past the
+    broadcast ceiling (AQE then picks the strategy)."""
+    bench_sh = word_shingles(benchmark, text_col, id_col, k=k).select(
+        F.col("shingle").alias("_bs")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corpus_sh = word_shingles(corpus, text_col, id_col, k=k)
+    return (
+        corpus_sh.join(bench_sh, corpus_sh["shingle"] == F.col("_bs"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+#: PII patterns — deliberately restricted to regex constructs with
+#: identical semantics in Java regex (Spark) and RE2 (DuckDB/
+#: deployment scanners): character classes, bounded repetition,
+#: alternation; no backrefs or lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+PII_DIGITS = r"[0-9][0-9]+"
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII detection + redaction fingerprint:
+    (id, n_emails, n_phones, n_digit_seqs, redacted_md5).
+    redacted_md5 = md5 of the text after replacing every email/
+    phone match with '<PII>' (emails first — a phone-like substring
+    inside an email must not double-fire).  Counts are
+    regexp_extract_all sizes; everything is codegen'd column
+    expressions — zero shuffle, no Python."""
+    t = F.lower(F.col(text_col))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "<PII>"), PII_PHONE, "<PII>"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_DIGITS), 0))
+        .cast("long")
+        .alias("n_digit_seqs"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

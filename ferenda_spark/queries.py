@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ferenda_spark.operators import curation as CU
 from ferenda_spark.operators import dedup as D
 from ferenda_spark.operators import query as Q
 from ferenda_spark.operators import similarity as S
@@ -675,6 +676,131 @@ sh AS (SELECT doc_id,
 SELECT toks.doc_id AS id, md5(t) AS content_md5, MIN(h) AS min_shingle_fp
 FROM toks JOIN sh ON toks.doc_id = sh.doc_id
 GROUP BY toks.doc_id, t
+"""
+
+
+# ================================================ training-data: curation
+
+def q_repetition(spark, sf_dir):
+    return CU.repetition_signals(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _sql_dup_frac(k: int) -> str:
+    """DuckDB twin of curation._dup_frac: duplicate word-k-gram
+    fraction, 0.0 for docs with < k tokens (LEFT JOIN fills)."""
+    return f"""
+  (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n, COUNT(DISTINCT g) AS d FROM (
+     SELECT doc_id,
+            array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + {k}], ' ') AS g
+     FROM b, unnest(range(0, GREATEST(len(w) - {k}, 0) + 1)) AS t(i)
+     WHERE len(w) >= {k})
+   GROUP BY doc_id)
+"""
+
+
+ORACLE_REPETITION = f"""
+WITH b AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+tw AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
+         SELECT doc_id, x, COUNT(*) AS c
+         FROM b, unnest(w) AS t(x) GROUP BY 1, 2)
+       GROUP BY doc_id),
+g2 AS {_sql_dup_frac(2)},
+g3 AS {_sql_dup_frac(3)}
+SELECT tw.doc_id AS id, CAST(tw.n AS BIGINT) AS n_tokens,
+       {_sql_r("CAST(tw.mx AS DOUBLE) / tw.n", 6)} AS top_word_frac,
+       COALESCE({_sql_r("(g2.n - g2.d) / g2.n", 6)}, 0.0) AS dup_2gram_frac,
+       COALESCE({_sql_r("(g3.n - g3.d) / g3.n", 6)}, 0.0) AS dup_3gram_frac
+FROM tw LEFT JOIN g2 ON tw.doc_id = g2.doc_id
+        LEFT JOIN g3 ON tw.doc_id = g3.doc_id
+"""
+
+
+def q_host_split(spark, sf_dir):
+    """Host-stratified split keyed on the documents table's `source`
+    column (the url-host analog of the synthetic corpus)."""
+    return CU.host_split(_t(spark, sf_dir, "documents"), "source", "doc_id")
+
+
+ORACLE_HOST_SPLIT = f"""
+SELECT doc_id AS id, source AS host,
+       CASE WHEN substr(md5(source), 1, 2) < '{CU.SPLIT_TRAIN_HEX}' THEN 'train'
+            WHEN substr(md5(source), 1, 2) < '{CU.SPLIT_VAL_HEX}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_host_aggregates(spark, sf_dir):
+    return CU.host_aggregates(
+        _t(spark, sf_dir, "documents"), "source", "text", "lang"
+    )
+
+
+ORACLE_HOST_AGG = f"""
+WITH b AS (SELECT source AS host,
+                  len(string_split({_SQL_NORM}, ' ')) AS nt, lang
+           FROM documents)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       {_sql_r("CAST(SUM(nt) AS DOUBLE) / COUNT(*)", 6)} AS mean_doc_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       COUNT(*) >= 2 AS keep
+FROM b GROUP BY host
+"""
+
+#: Deterministic benchmark selector for the contamination query:
+#: every 97th document plays the held-out eval set; the remainder is
+#: the training corpus scanned for leaked k-grams.  k=4 is tuned to
+#: the synthetic corpus' tiny vocabulary so the query exercises real
+#: hits (k=8 finds zero overlaps in word-soup text); deployment
+#: decontamination uses k=8..13 per the published practice.
+CONTAM_MOD = 97
+CONTAM_K = 4
+
+
+def q_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return CU.contamination(
+        docs.filter(F.col("doc_id") % CONTAM_MOD != 0),
+        docs.filter(F.col("doc_id") % CONTAM_MOD == 0),
+        "text",
+        "doc_id",
+        k=CONTAM_K,
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH b AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+gr AS (SELECT DISTINCT doc_id,
+              array_to_string(
+                w[CAST(i AS INT) + 1 : CAST(i AS INT) + {CONTAM_K}], ' ') AS s
+       FROM b, unnest(range(0, GREATEST(len(w) - {CONTAM_K}, 0) + 1)) AS t(i)
+       WHERE len(w) >= {CONTAM_K}),
+bench AS (SELECT DISTINCT s FROM gr WHERE doc_id % {CONTAM_MOD} = 0)
+SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM gr JOIN bench USING (s)
+WHERE doc_id % {CONTAM_MOD} != 0
+GROUP BY doc_id
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII scan over the events table's props payload (the only
+    synthetic column containing digit sequences); email/phone
+    fixtures are exercised in pytest."""
+    return CU.pii_scan(_t(spark, sf_dir, "events"), "props", "event_id")
+
+
+ORACLE_PII = f"""
+WITH b AS (SELECT event_id, lower(props) AS t FROM events)
+SELECT event_id AS id,
+       CAST(len(regexp_extract_all(t, '{CU.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{CU.PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{CU.PII_DIGITS}')) AS BIGINT) AS n_digit_seqs,
+       md5(regexp_replace(
+             regexp_replace(t, '{CU.PII_EMAIL}', '<PII>', 'g'),
+             '{CU.PII_PHONE}', '<PII>', 'g')) AS redacted_md5
+FROM b
 """
 
 
@@ -1562,6 +1688,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "fingerprint": q_fingerprint,
+        "repetition_signals": q_repetition,
+        "host_split": q_host_split,
+        "host_aggregates": q_host_aggregates,
+        "contamination": q_contamination,
+        "pii_scan": q_pii_scan,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1613,6 +1744,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracle_lang_id(),
         "quality_score": ORACLE_QUALITY,
         "fingerprint": ORACLE_FINGERPRINT,
+        "repetition_signals": ORACLE_REPETITION,
+        "host_split": ORACLE_HOST_SPLIT,
+        "host_aggregates": ORACLE_HOST_AGG,
+        "contamination": ORACLE_CONTAMINATION,
+        "pii_scan": ORACLE_PII,
         "ann_bruteforce": ORACLE_ANN,
         "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,

@@ -30,6 +30,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Split small files into >= cores scan partitions: a 100 TB
+        # corpus arrives as many splits naturally, but a small local
+        # parquet collapses to ONE task, serializing shuffle-free
+        # plans (broadcast joins, pure projections) onto one core —
+        # this floor makes local plans cluster-shaped.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
