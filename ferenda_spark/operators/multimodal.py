@@ -9,12 +9,15 @@ Spark-first:
 - every transform is `mapInPandas` over Arrow batches — payloads
   never pass through per-row Python, and batch size bounds executor
   memory (`spark.sql.execution.arrow.maxRecordsPerBatch`);
-- the *codec* (actual image/audio decode) is a stubbed seam: the
-  container has no media libraries, so `decode_fn=None` uses a
-  deterministic fake that derives features from the payload bytes
-  (md5-seeded), keeping schemas/partitioning/tests real.  At
-  deployment, pass a real decode_fn (PIL/librosa/ffmpeg) — nothing
-  else changes.
+- the *codec* is pluggable per format: PNG images decode for real
+  (sources/png.py), PCM WAV audio decodes for real (sources/wav.py,
+  see audio_features), docx/pdf documents decode for real
+  (sources/office.py); only VIDEO frame grabs remain a stubbed seam
+  (ffmpeg genuinely required — `real_decode_stub`).  The generic
+  extract_features keeps a deterministic md5-seeded fake for
+  formats without a hermetic codec, keeping schemas/partitioning/
+  tests real; at deployment, pass a real decode_fn (PIL/librosa/
+  ffmpeg) — nothing else changes.
 
 Scale notes: media payloads dominate row size, so feature extraction
 projects payload *out* as early as possible (select only id+features
@@ -108,16 +111,17 @@ def extract_features(
 
 
 def real_decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
-    """The production AUDIO/VIDEO codec seam. Requires
-    librosa/ffmpeg, which this container does not ship.
-    DOCUMENT payloads (docx/pdf) do NOT go through this seam — they
-    have real dependency-free codecs in
-    ferenda_spark.sources.office (read_office) — and neither do PNG
-    IMAGES (ferenda_spark.sources.png, the default resize_images
-    codec)."""
+    """The production VIDEO codec seam — the one remaining stub.
+    Requires ffmpeg, which this container does not ship.  DOCUMENT
+    payloads (docx/pdf) do NOT go through this seam — they have real
+    dependency-free codecs in ferenda_spark.sources.office
+    (read_office) — and neither do PNG IMAGES
+    (ferenda_spark.sources.png, the default resize_images codec) nor
+    PCM WAV AUDIO (ferenda_spark.sources.wav, the default
+    audio_features codec)."""
     raise NotImplementedError(
-        "real audio/video decode requires librosa/ffmpeg; pass a decode_fn "
-        "built on those at deployment — the Spark plumbing is unchanged"
+        "real video frame decode requires ffmpeg; pass a decode_fn "
+        "built on it at deployment — the Spark plumbing is unchanged"
     )
 
 
@@ -216,6 +220,75 @@ def resize_images(
 
     return media.filter(media["kind"] == "image").mapInPandas(
         run, schema=RESIZED_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("zero_crossing_rate", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame,
+    decode_audio: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """Audio feature extraction over mapInPandas: decode each payload
+    to a waveform (REAL PCM WAV codec by default — sources/wav.py,
+    stdlib struct + one vectorized frombuffer; pass a
+    librosa/soundfile decode_audio for compressed formats at
+    deployment) and emit real signal features:
+    (id, sample_rate, n_channels, duration_s, rms, peak,
+    zero_crossing_rate) — all numpy-vectorized over the whole
+    waveform, rounded to 6 dp for engine-portable determinism.
+
+    Rows without payload and payloads the codec rejects
+    (truncated/corrupt/non-PCM — ValueError) are dropped (the
+    reference skips undecodable sources and logs; the count
+    difference is the metric).  Payload is projected out after the
+    UDF — only 7 scalars per row continue downstream."""
+    import numpy as np
+
+    from ferenda_spark.sources.wav import decode_wav
+
+    decode = decode_audio or (lambda payload: decode_wav(payload))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FEATURES_SCHEMA}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    samples, rate = decode(bytes(payload))
+                except ValueError:
+                    continue
+                frames = samples.shape[0]
+                if frames == 0 or rate <= 0:
+                    continue
+                flat = samples.reshape(-1)
+                signs = np.signbit(samples)
+                zc = (
+                    float(np.mean(signs[1:] != signs[:-1])) if frames > 1 else 0.0
+                )
+                out["id"].append(int(i))
+                out["sample_rate"].append(int(rate))
+                out["n_channels"].append(int(samples.shape[1]))
+                out["duration_s"].append(round(frames / rate, 6))
+                out["rms"].append(round(float(np.sqrt(np.mean(flat * flat))), 6))
+                out["peak"].append(round(float(np.max(np.abs(flat))), 6))
+                out["zero_crossing_rate"].append(round(zc, 6))
+            yield pd.DataFrame(out)
+
+    return media.filter("kind = 'audio'").select("id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
     )
 
 
