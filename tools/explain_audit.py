@@ -185,6 +185,66 @@ def main():
         )
     )
 
+    # 10c. curation family: repetition/host_split are pure
+    # projections (no Exchange, no Python); contamination joins the
+    # corpus shingle explode against a BROADCAST benchmark set (the
+    # corpus side never shuffles); host_aggregates partial-aggregates
+    checks.append(
+        (
+            "repetition_signals",
+            catalog.q_repetition(spark, SF),
+            [
+                ("no shuffle", lambda p: "Exchange" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "host_split",
+            catalog.q_host_split(spark, SF),
+            [
+                ("no shuffle", lambda p: "Exchange" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "host_aggregates",
+            catalog.q_host_aggregates(spark, SF),
+            [
+                ("partial aggregate", lambda p: "HashAggregate" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "contamination",
+            catalog.q_contamination(spark, SF),
+            [
+                ("benchmark side broadcast", lambda p: "BroadcastHashJoin" in p),
+                ("no sort-merge join", lambda p: "SortMergeJoin" not in p),
+                ("hit count partial-aggregated", lambda p: "HashAggregate" in p),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "pii_scan",
+            catalog.q_pii_scan(spark, SF),
+            [
+                ("no shuffle", lambda p: "Exchange" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     # 11. incremental rebuild: the stored-table merges are BROADCAST
     # anti-joins on the (small) delta key set — the full prior corpus
     # is never shuffled to replace a few urls
