@@ -125,3 +125,26 @@ def collation_key(col: Column, collate_locale: str | None = None) -> Column:
     if loc.startswith(("da", "no", "nb", "nn")):
         return F.translate(c, "æøå", "{|}")
     return c
+
+
+def icu_collation_col(col: Column, collate_locale: str = "sv") -> Column:
+    """Full ICU collation for the TOC/locale sort
+    (documentrepository.py:2950-2952 strxfrm under collate_locale)
+    via Spark 4's built-in COLLATE expression — the engine-native
+    path: `orderBy(icu_collation_col(c, 'sv_SE'))` sorts with the
+    real ICU tailoring for ANY locale Spark's ICU ships (v/w
+    interleaving, ß=ss, œ/æ/þ weights — cases the translate-based
+    `collation_key` approximation does not model), entirely inside
+    whole-stage codegen, no sortkey column materialized.
+
+    Locale ids are normalized to Spark collation names ('sv_SE' →
+    'sv'): Spark parses '_'-suffixes as collation modifiers (_CI,
+    _AI), not country tags.  Falls back to `collation_key` when the
+    runtime predates collation support (pre-4.0)."""
+    lang = (collate_locale or "").replace("-", "_").split("_", 1)[0].lower()
+    if not lang or lang in ("c", "posix"):
+        return collation_key(col, None)
+    try:
+        return F.collate(col, lang)
+    except AttributeError:  # pyspark < 4.0: no COLLATE expression
+        return collation_key(col, collate_locale)

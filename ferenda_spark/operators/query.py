@@ -76,6 +76,7 @@ def toc_select_for_pages(
     id_col: str,
     per_page: int = 3,
     collate_locale: str | None = None,
+    icu: bool = False,
 ) -> DataFrame:
     """A2 toc_select_for_pages: group rows by selector, keep the
     first `per_page` per group ordered by title sortkey (ties by id).
@@ -84,14 +85,18 @@ def toc_select_for_pages(
     `collate_locale` switches the sortkey to the locale collation
     key (documentrepository.py:2950-2952 sorts TOC values with
     locale.strxfrm under repo.collate_locale) — e.g. 'sv_SE' puts
-    å/ä/ö after z in the correct order, entirely JVM-side."""
-    from ferenda_spark.functions.scalars import collation_key
+    å/ä/ö after z in the correct order, entirely JVM-side.  With
+    `icu=True` the sortkey is Spark 4's native ICU COLLATE
+    expression instead of the translate approximation (full
+    tailoring: v/w interleaving, ß, œ/æ weights)."""
+    from ferenda_spark.functions.scalars import collation_key, icu_collation_col
 
-    sortkey = (
-        collation_key(F.col(title_col), collate_locale)
-        if collate_locale
-        else title_sortkey(F.col(title_col))
-    )
+    if collate_locale and icu:
+        sortkey = icu_collation_col(F.col(title_col), collate_locale)
+    elif collate_locale:
+        sortkey = collation_key(F.col(title_col), collate_locale)
+    else:
+        sortkey = title_sortkey(F.col(title_col))
     w = Window.partitionBy("letter").orderBy("sortkey", id_col)
     return (
         df.select(

@@ -1512,6 +1512,47 @@ FROM k
 """
 
 
+#: Titles exercising full ICU tailoring — the cases the translate
+#: approximation cannot model: v/w interleaving is NOT folded (modern
+#: sv ICU keeps w separate), ß=ss, œ/æ/þ/ý weights, punctuation and
+#: digits before letters.  Spark's COLLATE 'sv' and DuckDB's ICU
+#: 'COLLATE sv' produce the identical total order over these
+#: (verified: both ship stock CLDR sv tailoring).
+ICU_COLLATE_TITLES = COLLATE_TITLES + [
+    "straße", "Strasse", "œuvre", "oeuvre", "12 möss", "Äpple 2",
+    "äpple 10", "-streck", " ledande", "CaFé", "cafe", "Ölet", "ön",
+    "Vin", "win", "Þor", "ægis", "ýr",
+]
+
+
+def q_toc_collate_icu(spark, sf_dir):
+    """A1 locale-collated TOC value sort, engine-native path: Spark
+    4's ICU COLLATE expression (scalars.icu_collation_col) instead
+    of the strxfrm-analog translate key — full CLDR sv tailoring.
+    Bounded literal input (the operator is under test), so the
+    no-partition window ranks ≤30 rows."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.functions.scalars import icu_collation_col
+
+    t = spark.createDataFrame([(x,) for x in ICU_COLLATE_TITLES], ["title"])
+    w = Window.orderBy("key", "title")
+    return (
+        t.select("title", icu_collation_col(F.col("title"), "sv_SE").alias("key"))
+        .select("title", F.row_number().over(w).cast("long").alias("rnk"))
+    )
+
+
+def _oracle_toc_collate_icu() -> str:
+    rows = ", ".join(f"('{t}')" for t in ICU_COLLATE_TITLES)
+    return f"""
+WITH t(title) AS (VALUES {rows})
+SELECT title,
+       CAST(ROW_NUMBER() OVER (ORDER BY title COLLATE sv, title) AS BIGINT) AS rnk
+FROM t
+"""
+
+
 def q_search_parentchild(spark, sf_dir):
     """S7 parent/child search (ES has_parent/has_child,
     fulltextindex.py:890-910): parents = docs, children = sections;
@@ -1671,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toc_pagesets": q_toc_pagesets,
         "toc_pages": q_toc_pages,
         "toc_collate": q_toc_collate,
+        "toc_collate_icu": q_toc_collate_icu,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "union_dedup": q_union_dedup,
@@ -1727,6 +1769,7 @@ def oracle_sql() -> dict[str, str]:
         "toc_pagesets": ORACLE_TOC_PAGESETS,
         "toc_pages": ORACLE_TOC_PAGES,
         "toc_collate": _oracle_toc_collate(),
+        "toc_collate_icu": _oracle_toc_collate_icu(),
         "semi_join": ORACLE_SEMI,
         "anti_join": ORACLE_ANTI,
         "union_dedup": ORACLE_UNION_DEDUP,

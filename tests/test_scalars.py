@@ -99,3 +99,40 @@ def test_collation_key_swedish(spark):
     df = spark.createDataFrame([("Élan",), ("ebb",)], ["t"])
     got = [r["t"] for r in df.orderBy(collation_key(F.col("t"), None), "t").collect()]
     assert got == ["ebb", "Élan"]
+
+
+def test_icu_collation_swedish(spark):
+    """Spark 4 engine-native ICU path (scalars.icu_collation_col):
+    full CLDR sv tailoring — å < ä < ö after z, v/w NOT folded
+    (modern sv ICU), ß groups with ss, punctuation/digits first."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.functions.scalars import icu_collation_col
+
+    titles = [
+        "Ärlig", "Zebra", "Åsna", "Öga", "Apelsin", "Väg",
+        "Vin", "win", "Wien", "-streck", "12 möss",
+    ]
+    df = spark.createDataFrame([(t,) for t in titles], ["t"])
+    got = [
+        r["t"]
+        for r in df.orderBy(icu_collation_col(F.col("t"), "sv_SE"), "t").collect()
+    ]
+    assert got == [
+        "-streck", "12 möss", "Apelsin", "Vin", "Väg", "Wien",
+        "win", "Zebra", "Åsna", "Ärlig", "Öga",
+    ]
+
+
+def test_toc_select_for_pages_icu(spark):
+    """toc_select_for_pages(icu=True) ranks within a letter group by
+    the ICU collated order, not codepoint order."""
+    from ferenda_spark.operators.query import toc_select_for_pages
+
+    rows = [("här", 1), ("halv", 2), ("hö", 3), ("hä", 4), ("håla", 5)]
+    df = spark.createDataFrame(rows, ["title", "id"])
+    out = toc_select_for_pages(
+        df, "title", "id", per_page=5, collate_locale="sv_SE", icu=True
+    )
+    got = [r["title"] for r in out.filter("letter = 'h'").orderBy("rn").collect()]
+    assert got == ["halv", "håla", "hä", "här", "hö"]
