@@ -50,8 +50,14 @@ def facet_pivot(df: DataFrame, key: str, facet: str, values: list[str]) -> DataF
 # ------------------------------------------------------------ A1/A2: TOC pages
 
 def title_sortkey(col):
-    """facet.py:195-210 titlesortkey: lowercase, strip non-alnum."""
-    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+    """facet.py:195-210 titlesortkey → util.title_sortkey
+    (util.py:724-737): lowercase, strip a leading 'the ', drop
+    non-word chars.  Python's \\W is Unicode-aware and keeps '_', so
+    the Java-regex restatement is [^\\p{L}\\p{N}_] — 'Öga' keeps its
+    ö (and buckets under the 'ö' TOC letter) instead of collapsing
+    to '-'."""
+    k = F.regexp_replace(F.lower(col), "^the ", "")
+    return F.regexp_replace(k, r"[^\p{L}\p{N}_]", "")
 
 
 def firstletter(col):

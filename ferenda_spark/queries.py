@@ -191,8 +191,16 @@ def q_toc_pagesets(spark, sf_dir):
     return Q.toc_pagesets(_t(spark, sf_dir, "part"), "p_name")
 
 
-ORACLE_TOC_PAGESETS = """
-WITH k AS (SELECT regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS sk FROM part)
+#: util.title_sortkey twin (util.py:724-737): strip leading 'the ',
+#: drop non-word chars — \\p classes match Spark's Java regex and
+#: DuckDB's RE2 identically here.
+_SQL_SORTKEY = (
+    "regexp_replace(regexp_replace(lower({c}), '^the ', ''),"
+    " '[^\\p{{L}}\\p{{N}}_]', '', 'g')"
+)
+
+ORACLE_TOC_PAGESETS = f"""
+WITH k AS (SELECT {_SQL_SORTKEY.format(c='p_name')} AS sk FROM part)
 SELECT CASE WHEN length(sk) > 0 THEN substr(sk, 1, 1) ELSE '-' END AS letter,
        COUNT(*) AS n_items
 FROM k GROUP BY 1
@@ -206,10 +214,10 @@ def q_toc_pages(spark, sf_dir):
     )
 
 
-ORACLE_TOC_PAGES = """
+ORACLE_TOC_PAGES = f"""
 WITH k AS (
   SELECT p_name, p_partkey,
-         regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS sk FROM part
+         {_SQL_SORTKEY.format(c='p_name')} AS sk FROM part
 ), r AS (
   SELECT CASE WHEN length(sk) > 0 THEN substr(sk, 1, 1) ELSE '-' END AS letter,
          p_name, p_partkey,

@@ -37,6 +37,19 @@ def test_toc_pagesets_and_pages(people):
     assert by_letter["b"] == "Beta"
 
 
+def test_title_sortkey_reference_semantics(spark):
+    """util.title_sortkey parity (util.py:724-737): leading 'the '
+    stripped, \\W+ removal is Unicode-aware (ö survives, '_' kept)."""
+    df = spark.createDataFrame(
+        [("The 'viewstate' property",), ("Öga för öga",), ("a_b c!",), ("---",)],
+        ["t"],
+    )
+    got = [r.k for r in df.select(Q.title_sortkey(F.col("t")).alias("k")).collect()]
+    assert got == ["viewstateproperty", "ögaföröga", "a_bc", ""]
+    letters = [r.l for r in df.select(Q.firstletter(F.col("t")).alias("l")).collect()]
+    assert letters == ["v", "ö", "a", "-"]
+
+
 def test_stats_slices(people):
     s = {r.observation: r.n for r in Q.stats_slices(people, "etype", "id").collect()}
     assert s == {"click": 3, "view": 2}
