@@ -350,6 +350,39 @@ def q_recrawl_changes(spark, sf_dir):
     ).select("user_id", "event_id", "ts", "event_type", "change_kind")
 
 
+def q_crawl_windows(spark, sf_dir):
+    """Watermarked event-time windowed agg, batch twin of the
+    streaming crawl-rate operator (streaming/ingest.py::
+    crawl_window_stats): 1-hour tumbling windows per event_type,
+    counts + payload bytes.  withWatermark is a no-op on batch, so
+    this runs the EXACT streaming plan; on a stream the same plan
+    emits each window once (append mode) and drops records later
+    than the watermark."""
+    from ferenda_spark.streaming.ingest import crawl_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return crawl_window_stats(
+        ev,
+        window="1 hour",
+        watermark="1 hour",
+        ts_col="ts",
+        key=F.col("event_type"),
+        bytes_expr=F.octet_length("props"),
+    ).withColumnRenamed("host", "event_type")
+
+
+#: Spark's window() buckets align to the unix epoch; the oracle
+#: restates that arithmetically (DuckDB time_bucket has a different
+#: origin for some widths, so epoch math is the portable twin).
+ORACLE_CRAWL_WINDOWS = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COALESCE(SUM(strlen(props)), 0) AS BIGINT) AS n_bytes
+FROM events GROUP BY 1, 2
+"""
+
+
 ORACLE_RECRAWL = """
 WITH seq AS (
   SELECT user_id, event_id, ts, event_type,
@@ -1728,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_windows": q_feed_windows,
         "window_topn": q_window_topn,
         "recrawl_changes": q_recrawl_changes,
+        "crawl_windows": q_crawl_windows,
         "pagerank_nations": q_pagerank_nations,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1785,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_windows": ORACLE_FEED_WINDOWS,
         "window_topn": ORACLE_WINDOW_TOPN,
         "recrawl_changes": ORACLE_RECRAWL,
+        "crawl_windows": ORACLE_CRAWL_WINDOWS,
         "pagerank_nations": _oracle_pagerank(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_jaccard": ORACLE_DEDUP_JACCARD,

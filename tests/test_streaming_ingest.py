@@ -39,3 +39,65 @@ def test_available_now_incremental(spark):
         second = spark.read.parquet(out)
         assert second.count() == 40
         assert second.select("url").distinct().count() == 40  # no reprocessing dups
+
+
+def test_crawl_window_stats_watermark_late_data(spark):
+    """Watermarked tumbling windows over warc_ts, append mode:
+    a window's row is emitted exactly once (after the watermark,
+    carried in the checkpoint, passes its end), and records arriving
+    later than the watermark are DROPPED, not re-aggregated."""
+    import pandas as pd
+
+    from ferenda_spark.sources.pages import PAGES_SCHEMA
+    from ferenda_spark.streaming.ingest import run_crawl_stats_stream
+
+    def rows(ts_mins, host="a.example"):
+        return pd.DataFrame(
+            {
+                "url": [f"https://{host}/{m}" for m in ts_mins],
+                "warc_ts": [
+                    pd.Timestamp("2026-01-01 00:00:00") + pd.Timedelta(minutes=m)
+                    for m in ts_mins
+                ],
+                "html": [b"<html/>" for _ in ts_mins],
+                "text": ["x" for _ in ts_mins],
+                "lang": ["en" for _ in ts_mins],
+            }
+        )
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+        # batch 1: minutes 1,2 (window [0,10)) and 31 (window [30,40))
+        spark.createDataFrame(rows([1, 2, 31]), PAGES_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        run_crawl_stats_stream(
+            spark, src, out, ckpt, window="10 minutes", watermark="10 minutes"
+        )
+        got1 = {
+            (r.window_start, r.n_pages)
+            for r in spark.read.parquet(out).collect()
+        }
+        # watermark after batch1 = 00:31 - 10min = 00:21 -> only the
+        # [00:00,00:10) window is final; [00:30,00:40) still open
+        base = pd.Timestamp("2026-01-01 00:00:00").timestamp()
+        assert got1 == {(int(base), 2)}
+
+        # batch 2: minute 5 is LATE (< watermark 00:21) and must be
+        # dropped; minute 61 advances the watermark past 00:40 and
+        # finalizes the [00:30,00:40) window with ONLY its one row
+        spark.createDataFrame(rows([5, 61]), PAGES_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        run_crawl_stats_stream(
+            spark, src, out, ckpt, window="10 minutes", watermark="10 minutes"
+        )
+        got2 = {
+            (r.window_start, r.n_pages)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (int(base) + 1800, 1) in got2          # finalized once
+        assert (int(base), 2) in got2 and (int(base), 3) not in got2  # late row dropped
