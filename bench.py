@@ -55,6 +55,7 @@ HEADLINE = [
     "search_filters",
     "search_facets",
     "search_parentchild",
+    "crawl_windows",
 ]
 
 
