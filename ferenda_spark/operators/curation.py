@@ -212,3 +212,63 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .alias("n_digit_seqs"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+#: Query parameters that identify a click, not a resource — the
+#: standard strip-list for crawl dedup keying (utm_* per Google's
+#: Urchin params; gclid/fbclid ad-click ids; plain `ref`errer tags).
+URL_TRACKING_PARAMS = r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
+
+_URL_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY = r"^[^?#]*\?([^#]*)"
+
+
+def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """URL canonicalization for crawl dedup keying — the reason two
+    captures of one resource look distinct: (.. all input columns ..,
+    canon_url, url_host).
+
+    Rules (the conservative, loss-free subset every crawl pipeline
+    agrees on):
+      - scheme and host lowercased; default ports dropped
+        (http:80, https:443); non-default ports kept;
+      - fragment dropped (never sent to the server);
+      - tracking query params dropped (URL_TRACKING_PARAMS:
+        utm_*, gclid, fbclid, ref), remaining params sorted
+        byte-wise so param order does not split dedup groups;
+      - empty path becomes '/'.
+
+    Pure column projection — regexp extracts + an array
+    filter/sort, zero shuffle, codegen'd end to end; at 10^12 pages
+    this adds no exchange to whatever consumes it (exact_dedup on
+    canon_url, host_split on url_host)."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME, 1))
+    hostport = F.lower(F.regexp_extract(u, _URL_HOSTPORT, 1))
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, _URL_PATH, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.filter(
+        F.split(F.regexp_extract(u, _URL_QUERY, 1), "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAMS),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    # a row that is not a scheme://host url at all keeps its raw
+    # string as the canon key (still dedups exact copies)
+    canon = F.when(scheme == "", u).otherwise(canon)
+    return df.withColumn("canon_url", canon).withColumn("url_host", host)

@@ -845,6 +845,83 @@ FROM b
 """
 
 
+def _messy_url_expr():
+    """Deterministic messy-URL builder over (doc_id, source) — the
+    same arithmetic as the SQL twin below, so both engines
+    normalize an identical input set (no external data)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Docs/"), d.cast("string"))
+        ),
+        F.when(d % 5 == 0, F.lit("?utm_source=news&b=2&a=1"))
+        .when(d % 5 == 1, F.concat(F.lit("?id="), d.cast("string"), F.lit("&utm_campaign=x")))
+        .when(d % 5 == 2, F.lit("?z=9"))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("#Sec2")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (curation.normalize_urls) over a
+    deterministic messy-URL corpus: case-folded scheme/host, default
+    port dropped / non-default kept, fragment dropped, tracking
+    params stripped, survivors sorted, empty path → '/'.  Zero
+    shuffle — pure projection."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    messy = docs.withColumn("url", _messy_url_expr())
+    return CU.normalize_urls(messy, "url").select("doc_id", "canon_url", "url_host")
+
+
+ORACLE_URL_CANON = f"""
+WITH m AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || source || '.Example.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                 WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ''
+                 ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&b=2&a=1'
+                 WHEN doc_id % 5 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+                 WHEN doc_id % 5 = 2 THEN '?z=9' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN '#Sec2' ELSE '' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         regexp_extract(url, '^[^?#]*\\?([^#]*)', 1) AS rawq
+  FROM m),
+n AS (
+  SELECT doc_id,
+         scheme,
+         regexp_replace(hostport, ':[0-9]+$', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(rawq, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{CU.URL_TRACKING_PARAMS}'))),
+           '&') AS q
+  FROM p)
+SELECT doc_id,
+       scheme || '://' || host
+       || CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')
+               THEN ':' || port ELSE '' END
+       || path
+       || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url,
+       host AS url_host
+FROM n
+"""
+
+
 # =============================================== training-data: similarity
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1777,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_aggregates": q_host_aggregates,
         "contamination": q_contamination,
         "pii_scan": q_pii_scan,
+        "url_canon": q_url_canon,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1835,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "host_aggregates": ORACLE_HOST_AGG,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scan": ORACLE_PII,
+        "url_canon": ORACLE_URL_CANON,
         "ann_bruteforce": ORACLE_ANN,
         "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,

@@ -129,3 +129,32 @@ def test_repetition_no_shuffle_plan(docs):
 def test_host_split_no_shuffle_plan(docs):
     plan = CU.host_split(docs, "source", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_urls(spark):
+    """Canonicalization rules: case-fold scheme/host, drop default
+    port / keep non-default, drop fragment, strip tracking params,
+    sort survivors, empty path -> '/', non-URL passthrough."""
+    from ferenda_spark.operators.curation import normalize_urls
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A?utm_source=x&b=2&a=1#f",
+         "https://www.ex.com/A?a=1&b=2", "www.ex.com"),
+        ("http://ex.com:80", "http://ex.com/", "ex.com"),
+        ("http://ex.com:8080/p?ref=tw&id=7", "http://ex.com:8080/p?id=7", "ex.com"),
+        ("https://ex.com/p?gclid=1&fbclid=2&utm_campaign=c", "https://ex.com/p", "ex.com"),
+        ("https://ex.com/p?", "https://ex.com/p", "ex.com"),
+        ("not a url", "not a url", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], ["url"])
+    got = {
+        r.url: (r.canon_url, r.url_host)
+        for r in normalize_urls(df, "url").collect()
+    }
+    for u, canon, host in cases:
+        assert got[u] == (canon, host), (u, got[u], (canon, host))
+    # pure projection — no Exchange in the optimized plan
+    plan = (
+        normalize_urls(df, "url")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
