@@ -12,8 +12,10 @@ Spark-first:
 - the *codec* is pluggable per format: PNG images decode for real
   (sources/png.py), PCM WAV audio decodes for real (sources/wav.py,
   see audio_features), docx/pdf documents decode for real
-  (sources/office.py); only VIDEO frame grabs remain a stubbed seam
-  (ffmpeg genuinely required — `real_decode_stub`).  The generic
+  (sources/office.py), uncompressed-AVI video frames decode for
+  real (sources/avi.py, see sample_frames); only COMPRESSED video
+  (H.264/VP9/...) remains behind the decode_fn seam (ffmpeg
+  genuinely required — `real_decode_stub`).  The generic
   extract_features keeps a deterministic md5-seeded fake for
   formats without a hermetic codec, keeping schemas/partitioning/
   tests real; at deployment, pass a real decode_fn (PIL/librosa/
@@ -111,17 +113,19 @@ def extract_features(
 
 
 def real_decode_stub(payload: bytes, kind: str, dim: int) -> list[float]:
-    """The production VIDEO codec seam — the one remaining stub.
+    """The COMPRESSED-video codec seam — the one remaining stub.
     Requires ffmpeg, which this container does not ship.  DOCUMENT
     payloads (docx/pdf) do NOT go through this seam — they have real
     dependency-free codecs in ferenda_spark.sources.office
     (read_office) — and neither do PNG IMAGES
-    (ferenda_spark.sources.png, the default resize_images codec) nor
+    (ferenda_spark.sources.png, the default resize_images codec),
     PCM WAV AUDIO (ferenda_spark.sources.wav, the default
-    audio_features codec)."""
+    audio_features codec), nor UNCOMPRESSED-AVI VIDEO
+    (ferenda_spark.sources.avi, the default sample_frames codec)."""
     raise NotImplementedError(
-        "real video frame decode requires ffmpeg; pass a decode_fn "
-        "built on it at deployment — the Spark plumbing is unchanged"
+        "compressed video frame decode requires ffmpeg; pass a "
+        "decode_fn built on it at deployment — the Spark plumbing "
+        "is unchanged"
     )
 
 
@@ -311,4 +315,83 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 )
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("rgb", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decode_video: Callable[[bytes], "object"] | None = None,
+) -> DataFrame:
+    """REAL video frame sampling: decode each video payload
+    (dependency-free uncompressed-AVI codec by default —
+    sources/avi.py; pass an ffmpeg-backed decode_video for
+    compressed formats) and emit the frame nearest each sampled
+    timestamp on the 0, every_ms, 2·every_ms, … grid, capped at the
+    clip's actual duration.  Output (id, frame_ts_ms, width, height,
+    rgb) — payload and meta are projected out so only the sampled
+    frames' bytes continue downstream.
+
+    Rows without payload and payloads the codec rejects
+    (compressed / truncated / non-AVI — ValueError) are dropped,
+    the same skip-and-count policy as resize_images.  The sampled
+    timestamps reproduce frame_sample_plan's grid whenever
+    meta.duration_ms matches the decoded n_frames·frame_ms, so the
+    *plan* (pure column ops, no decode) remains the cheap way to
+    size a sampling job before running this operator."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.sources.avi import decode_avi
+
+    decode = decode_video or decode_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, tss, ws, hs, blobs = [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    frames, frame_ms = decode(bytes(payload))
+                except ValueError:
+                    continue
+                n = frames.shape[0]
+                if n == 0 or frame_ms <= 0:
+                    continue
+                duration_ms = n * frame_ms
+                grid = np.arange(0, duration_ms, every_ms)
+                idx = np.minimum((grid / frame_ms).astype(int), n - 1)
+                for ts, k in zip(grid, idx):
+                    ids.append(i)
+                    tss.append(int(ts))
+                    ws.append(frames.shape[2])
+                    hs.append(frames.shape[1])
+                    blobs.append(frames[k].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "frame_ts_ms": tss,
+                    "width": ws,
+                    "height": hs,
+                    "rgb": blobs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("id", "payload")
+        .mapInPandas(run, schema=FRAMES_SCHEMA)
     )
