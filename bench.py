@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard",
     "dedup_clusters",
+    "dup_spans",
     "token_count",
     "quality_score",
     "lang_id",

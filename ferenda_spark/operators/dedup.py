@@ -375,3 +375,105 @@ def fuzzy_dedup_clusters(
         "cluster_size",
         (F.col("id") != F.col("cluster_rep")).alias("is_dup"),
     )
+
+
+def positional_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Every k-word span per doc, one row PER POSITION (duplicates
+    kept — unlike word_shingles' distinct sets): (id, gram).  Same
+    JVM-side normalize/tokenize + Arrow-batched sliding window as
+    word_shingles; the positional multiset is what span-duplication
+    *rates* need, since a doc repeating a duplicated span 10 times
+    is 10 positions of duplicated text, not 1."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    src = df.select(F.col(id_col).alias("id"), toks.alias("w")).filter(
+        F.size("w") >= k
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("gram", T.StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            out: list = []
+            for i, w in zip(pdf["id"], pdf["w"]):
+                grams = [" ".join(w[j : j + k]) for j in range(len(w) - k + 1)]
+                out.extend(grams)
+                ids.extend([i] * len(grams))
+            yield pd.DataFrame({"id": ids, "gram": out})
+
+    return src.mapInPandas(run, schema)
+
+
+def duplicate_span_stats(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Cross-document duplicate-span rate per doc: the fraction of a
+    doc's k-token span positions whose text also occurs in at least
+    one OTHER document (the corpus-level duplicate-text signal of
+    exact-substring dedup — Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" — restated as k-gram document
+    frequency; RefinedWeb/Gopher-style pipelines filter on exactly
+    this rate).  Complements repetition_signals, which is
+    WITHIN-doc: a doc can be internally clean yet 90% boilerplate
+    shared with its template siblings — this operator is what
+    catches that.
+
+    'Occurs in another document' is decided WITHOUT counting
+    distinct docs per gram: min(id) != max(id) over the gram's
+    positions — two MIN/MAX aggregates that partial-aggregate
+    map-side, where countDistinct would shuffle every (gram, id)
+    pair.  Hot boilerplate grams therefore cost one aggregate row
+    each, and the only per-position shuffle is the semi-join back to
+    spans on the gram key (AQE splits whatever skew it has).  Every
+    document appears in the output; docs shorter than k tokens have
+    n_spans = 0 and rate 0.
+
+    Output (id, n_spans, n_dup_spans, dup_frac_r6).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sp = positional_spans(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dup_grams = (
+        sp.groupBy("gram")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gram")
+    )
+    totals = sp.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    dups = (
+        sp.join(dup_grams, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    scale = 10.0**6
+    return (
+        ids.join(totals, "id", "left")
+        .join(dups, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            # fixed IEEE op order (nd·10⁶ / n, then half-up floor) —
+            # identical sequence in the DuckDB twin, so both engines
+            # produce the same bits (see query.round_portable)
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("n_dup_spans", F.lit(0)) * scale / F.col("n_spans")
+                    + 0.5
+                )
+                / scale,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac_r6"),
+        )
+    )

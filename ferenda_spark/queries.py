@@ -638,6 +638,43 @@ FROM asg JOIN sz USING (cluster_rep)
 ORACLE_DEDUP_CLUSTERS = _oracle_dedup_clusters()
 
 
+#: span length for the cross-document duplicate-text rate (5-token
+#: spans measurably discriminate at these sfs: 2266 of 25165 span
+#: positions duplicated across 71 docs at sf0.01)
+DUP_SPAN_K = 5
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicate-span rate per doc (exact-substring
+    dedup signal as k-gram DF): fraction of each doc's 5-token span
+    positions whose text occurs in ≥1 other document."""
+    return D.duplicate_span_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=DUP_SPAN_K
+    )
+
+
+ORACLE_DUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+sp AS (SELECT doc_id,
+              array_to_string(
+                w[CAST(i AS INT) + 1 : CAST(i AS INT) + {DUP_SPAN_K}], ' ') AS g
+       FROM toks, unnest(range(0, GREATEST(len(w) - {DUP_SPAN_K}, 0) + 1)) AS t(i)
+       WHERE len(w) >= {DUP_SPAN_K}),
+dup AS (SELECT g FROM sp GROUP BY g HAVING MIN(doc_id) != MAX(doc_id)),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY 1),
+dupc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd
+         FROM sp WHERE g IN (SELECT g FROM dup) GROUP BY 1)
+SELECT d.doc_id AS id,
+       COALESCE(tot.n, 0) AS n_spans,
+       COALESCE(dupc.nd, 0) AS n_dup_spans,
+       CASE WHEN COALESCE(tot.n, 0) > 0
+            THEN FLOOR(COALESCE(dupc.nd, 0) * 1e6 / tot.n + 0.5) / 1e6
+            ELSE 0.0 END AS dup_frac_r6
+FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+                 LEFT JOIN dupc ON d.doc_id = dupc.doc_id
+"""
+
+
 # ============================================== training-data: text analysis
 
 def q_token_count(spark, sf_dir):
@@ -1845,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "dup_spans": q_dup_spans,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -1904,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": ORACLE_DEDUP_MINHASH,
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "dup_spans": ORACLE_DUP_SPANS,
         "token_count": ORACLE_TOKEN_COUNT,
         "lang_id": _oracle_lang_id(),
         "quality_score": ORACLE_QUALITY,

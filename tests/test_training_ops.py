@@ -77,6 +77,49 @@ def test_lsh_bucket_cap_bounds_boilerplate(spark):
     assert len(capped) < 30 * 29 // 2
 
 
+def test_duplicate_span_stats(docs):
+    # hand-computed at k=5 over DOCS (9 tokens → 5 span positions):
+    # docs 0 and 2 normalize identically — all 5 positions of each
+    # are cross-doc duplicated; doc 1 shares positions 0-3 ("the
+    # quick brown fox jumps" .. "fox jumps over the lazy") with
+    # 0/2 but its last span ("jumps over the lazy cat") is unique;
+    # doc 3 (7 tokens) has 3 unique spans; docs 4/5 are shorter
+    # than k.
+    out = {
+        r["id"]: r
+        for r in D.duplicate_span_stats(docs, "text", "doc_id", k=5).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    for i in (0, 2):
+        assert (out[i]["n_spans"], out[i]["n_dup_spans"]) == (5, 5)
+        assert out[i]["dup_frac_r6"] == 1.0
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (5, 4)
+    assert out[1]["dup_frac_r6"] == pytest.approx(0.8)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (3, 0)
+    for i in (4, 5):
+        assert (out[i]["n_spans"], out[i]["dup_frac_r6"]) == (0, 0.0)
+
+
+def test_duplicate_span_counts_repeated_positions(spark):
+    # a doc repeating a duplicated span counts every position, and a
+    # WITHIN-doc-only repeat is not cross-doc duplicated
+    rows = [
+        (0, "a b c d e a b c d e"),   # span "a b c d e" at pos 0 and 5
+        (1, "a b c d e"),             # shares it -> all of doc 1 dup
+        (2, "z z z z z z z z"),       # internal repeats, no other doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.duplicate_span_stats(df, "text", "doc_id", k=5).collect()
+    }
+    # doc 0: 6 positions; positions 0 and 5 are "a b c d e" (dup);
+    # the middle 4 spans ("b c d e a" etc.) exist only in doc 0
+    assert (out[0]["n_spans"], out[0]["n_dup_spans"]) == (6, 2)
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (1, 1)
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (4, 0)
+
+
 def test_simhash_properties(docs):
     rows = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
     assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in rows.values())
