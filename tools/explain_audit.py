@@ -245,6 +245,20 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "dup_spans",
+            catalog.q_dup_spans(spark, SF),
+            [
+                # 'in another doc' is MIN/MAX-id partial aggregates,
+                # never a countDistinct (no Expand operator)
+                ("no countDistinct expand", lambda p: "Expand" not in p),
+                ("partial aggregate", lambda p: "HashAggregate" in p),
+                ("semi-join on gram key", lambda p: "LeftSemi" in p),
+            ],
+        )
+    )
+
     # 11. incremental rebuild: the stored-table merges are BROADCAST
     # anti-joins on the (small) delta key set — the full prior corpus
     # is never shuffled to replace a few urls
