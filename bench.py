@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_clusters",
     "dup_spans",
+    "dup_span_cut",
     "token_count",
     "quality_score",
     "lang_id",

@@ -381,11 +381,12 @@ def positional_spans(
     df: DataFrame, text_col: str, id_col: str, k: int = 5
 ) -> DataFrame:
     """Every k-word span per doc, one row PER POSITION (duplicates
-    kept — unlike word_shingles' distinct sets): (id, gram).  Same
-    JVM-side normalize/tokenize + Arrow-batched sliding window as
+    kept — unlike word_shingles' distinct sets): (id, pos, gram),
+    pos = 0-based token index the span starts at.  Same JVM-side
+    normalize/tokenize + Arrow-batched sliding window as
     word_shingles; the positional multiset is what span-duplication
-    *rates* need, since a doc repeating a duplicated span 10 times
-    is 10 positions of duplicated text, not 1."""
+    *rates* and *removal* need, since a doc repeating a duplicated
+    span 10 times is 10 positions of duplicated text, not 1."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -394,18 +395,24 @@ def positional_spans(
         F.size("w") >= k
     )
     schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("gram", T.StringType())]
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("gram", T.StringType()),
+        ]
     )
 
     def run(batches):
         for pdf in batches:
             ids: list = []
+            poss: list = []
             out: list = []
             for i, w in zip(pdf["id"], pdf["w"]):
-                grams = [" ".join(w[j : j + k]) for j in range(len(w) - k + 1)]
-                out.extend(grams)
-                ids.extend([i] * len(grams))
-            yield pd.DataFrame({"id": ids, "gram": out})
+                n = len(w) - k + 1
+                out.extend(" ".join(w[j : j + k]) for j in range(n))
+                poss.extend(range(n))
+                ids.extend([i] * n)
+            yield pd.DataFrame({"id": ids, "pos": poss, "gram": out})
 
     return src.mapInPandas(run, schema)
 
@@ -475,5 +482,88 @@ def duplicate_span_stats(
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac_r6"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """The REMOVAL step that pairs with duplicate_span_stats: cut
+    every token covered by a cross-document duplicated k-gram from
+    every document (the exact-substring dedup cut of Lee et al.,
+    applied symmetrically — all occurrences go, which keeps the
+    operator deterministic with no arbitrary keeper choice; a
+    keep-one policy is a dedup_clusters-style representative pick
+    layered on top if ever needed).  Output text is the normalized
+    token stream re-joined with single spaces — the same normalized
+    space every dedup operator here compares in.
+
+    Plan (all JVM column expressions after the shared Arrow span
+    window): duplicated grams via the same MIN/MAX-id partial
+    aggregates as duplicate_span_stats (no countDistinct), covered
+    token indices via sequence+explode of the duplicated span
+    positions (distinct per (id, idx)), kept tokens via a LEFT ANTI
+    join on (id, idx), and per-doc reassembly as one
+    array_sort(collect_list(struct(idx, tok))) aggregation —
+    partial-aggregated, bounded by doc length per group.
+
+    Output (id, clean_text, n_tokens, n_tokens_removed) for EVERY
+    document; docs shorter than k tokens pass through unchanged.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sp = positional_spans(docs, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dup_grams = (
+        sp.groupBy("gram")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("gram")
+    )
+    covered = (
+        sp.join(dup_grams, "gram", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "idx", "tok"
+        ),
+    )
+    kept = toks.join(covered, ["id", "idx"], "left_anti")
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x.tok,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = toks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    ids = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return (
+        ids.join(totals, "id", "left")
+        .join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens_removed"),
         )
     )

@@ -675,6 +675,45 @@ FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
 """
 
 
+def q_dup_span_cut(spark, sf_dir):
+    """Exact-substring dedup REMOVAL: cut every token covered by a
+    cross-document duplicated 5-gram; returns the cleaned normalized
+    text + removal counts for every doc."""
+    return D.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=DUP_SPAN_K
+    )
+
+
+ORACLE_DUP_SPAN_CUT = f"""
+WITH toks0 AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS w FROM documents),
+sp AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              array_to_string(
+                w[CAST(i AS INT) + 1 : CAST(i AS INT) + {DUP_SPAN_K}], ' ') AS g
+       FROM toks0, unnest(range(0, GREATEST(len(w) - {DUP_SPAN_K}, 0) + 1)) AS t(i)
+       WHERE len(w) >= {DUP_SPAN_K}),
+dup AS (SELECT g FROM sp GROUP BY g HAVING MIN(doc_id) != MAX(doc_id)),
+covered AS (SELECT DISTINCT doc_id, CAST(j AS INT) AS idx
+            FROM sp, unnest(range(pos, pos + {DUP_SPAN_K})) AS u(j)
+            WHERE g IN (SELECT g FROM dup)),
+tok AS (SELECT doc_id, CAST(i AS INT) - 1 AS idx, w[CAST(i AS INT)] AS tok
+        FROM toks0, unnest(range(1, len(w) + 1)) AS t(i)),
+kept AS (SELECT tok.doc_id, tok.idx, tok.tok
+         FROM tok LEFT JOIN covered c
+           ON tok.doc_id = c.doc_id AND tok.idx = c.idx
+         WHERE c.doc_id IS NULL),
+re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+SELECT d.doc_id AS id,
+       COALESCE(re.clean_text, '') AS clean_text,
+       COALESCE(tot.n, 0) AS n_tokens,
+       COALESCE(tot.n, 0) - COALESCE(re.n_kept, 0) AS n_tokens_removed
+FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+                 LEFT JOIN re ON d.doc_id = re.doc_id
+"""
+
+
 # ============================================== training-data: text analysis
 
 def q_token_count(spark, sf_dir):
@@ -1883,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dup_spans": q_dup_spans,
+        "dup_span_cut": q_dup_span_cut,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -1943,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": ORACLE_DEDUP_SIMHASH,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "dup_spans": ORACLE_DUP_SPANS,
+        "dup_span_cut": ORACLE_DUP_SPAN_CUT,
         "token_count": ORACLE_TOKEN_COUNT,
         "lang_id": _oracle_lang_id(),
         "quality_score": ORACLE_QUALITY,

@@ -120,6 +120,47 @@ def test_duplicate_span_counts_repeated_positions(spark):
     assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (4, 0)
 
 
+def test_remove_duplicate_spans(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta unique tail here"),
+        (1, "alpha beta gamma delta epsilon other words follow now"),
+        (2, "totally unrelated content with nothing shared at all"),
+        (3, "tiny"),  # shorter than k -> passes through
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.remove_duplicate_spans(df, "text", "doc_id", k=5).collect()
+    }
+    # docs 0/1 share exactly one 5-gram ("alpha beta gamma delta
+    # epsilon") -> its 5 tokens are cut from BOTH; the rest stays
+    assert out[0]["clean_text"] == "zeta unique tail here"
+    assert (out[0]["n_tokens"], out[0]["n_tokens_removed"]) == (9, 5)
+    assert out[1]["clean_text"] == "other words follow now"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (9, 5)
+    assert out[2]["clean_text"] == rows[2][1]
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["clean_text"] == "tiny"
+    assert (out[3]["n_tokens"], out[3]["n_tokens_removed"]) == (1, 0)
+
+
+def test_remove_duplicate_spans_overlapping_coverage(spark):
+    # two docs identical for 6 tokens -> two overlapping dup 5-grams
+    # cover token indices 0..5 exactly once each (distinct coverage)
+    rows = [
+        (0, "a b c d e f x1 y1"),
+        (1, "a b c d e f x2 y2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.remove_duplicate_spans(df, "text", "doc_id", k=5).collect()
+    }
+    assert out[0]["clean_text"] == "x1 y1"
+    assert out[1]["clean_text"] == "x2 y2"
+    assert out[0]["n_tokens_removed"] == out[1]["n_tokens_removed"] == 6
+
+
 def test_simhash_properties(docs):
     rows = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
     assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in rows.values())

@@ -259,6 +259,18 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "dup_span_cut",
+            catalog.q_dup_span_cut(spark, SF),
+            [
+                ("no countDistinct expand", lambda p: "Expand" not in p),
+                ("kept tokens via anti-join", lambda p: "LeftAnti" in p),
+                ("reassembly partial-aggregated", lambda p: "HashAggregate" in p),
+            ],
+        )
+    )
+
     # 11. incremental rebuild: the stored-table merges are BROADCAST
     # anti-joins on the (small) delta key set — the full prior corpus
     # is never shuffled to replace a few urls
