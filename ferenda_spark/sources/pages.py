@@ -116,6 +116,43 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Hive-bucketed materialization — the table-level co-location
+    the Iceberg `bucket(N, col)` partition transform provides at
+    deployment (SURVEY.md §2.1 S5/S6 sink seam).  Every downstream
+    equi-join or aggregation on `bucket_col` between tables bucketed
+    the same way elides its shuffle entirely: Catalyst sees the
+    matching output partitioning and drops the Exchange on both
+    sides (asserted in test_query_layer's bucketed-join test and
+    tools/explain_audit.py).  At 100 TB this is the difference
+    between re-shuffling the 10^13-row triples table on every
+    relate/annotation pass and reading it pre-placed: bucket once at
+    write time, join shuffle-free forever after.
+
+    sortBy(bucket_col) additionally makes the per-bucket files
+    sort-merge-ready (no per-task sort before SMJ).  `path` makes it
+    an external table (data at `path`, metadata in the session
+    catalog); required in tests to keep data out of the default
+    warehouse."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
 def with_url_bucket(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Stable hash bucket on url-host — the parquet stand-in for the
     Iceberg `bucket(N, url_host)` partition transform (north rule:

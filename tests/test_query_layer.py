@@ -101,3 +101,50 @@ def test_round_portable(spark):
     vals = [r.r for r in df.select(Q.round_portable(F.col("x"), 6).alias("r")).collect()]
     assert vals[1] == 1.0
     assert abs(vals[2] - 0.123456) < 1e-12
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path_factory):
+    """write_bucketed_table co-location: an equi-join between two
+    tables bucketed the same way on the join key runs WITHOUT a
+    shuffle on either side (no Exchange hashpartitioning in the
+    plan), while the identical unbucketed join shuffles both."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ferenda_spark.sources.pages import write_bucketed_table
+
+    base = tmp_path_factory.mktemp("bucketed")
+    triples = spark.range(0, 2000).select(
+        F.concat(F.lit("s"), (F.col("id") % 200)).alias("subj"),
+        F.col("id").alias("n"),
+    )
+    directory = spark.range(0, 200).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    write_bucketed_table(triples, "t_b", "subj", 8, path=str(base / "t"))
+    write_bucketed_table(directory, "d_b", "subj", 8, path=str(base / "d"))
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("t_b").join(spark.table("d_b"), "subj")
+        p = plan_of(bucketed)
+        assert "Exchange" not in p, p
+        # contrast: same data unbucketed shuffles both sides
+        plain = triples.join(directory, "subj")
+        assert plan_of(plain).count("Exchange") >= 2
+        # and the shuffle-free plan is still CORRECT
+        got = {(r["subj"], r["n"], r["url"]) for r in bucketed.collect()}
+        want = {(r["subj"], r["n"], r["url"]) for r in plain.collect()}
+        assert got == want and len(got) == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_b")
+        spark.sql("DROP TABLE IF EXISTS d_b")
