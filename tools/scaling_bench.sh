@@ -248,7 +248,13 @@ the cross-window best-of above does not):
 The spread across identical code+input is pure host weather; the
 pairs whose adjacent windows were actually comparable reach
 {max(pairs.values()) if pairs else '?'} — consistent with the
-controlled decomposition below.
+controlled decomposition below.  The compute sidecar alone cannot
+flag a bad window: reps have measured a near-full CPU grant while
+the job ran 3× slow, because the binding resource for 8-wide
+hash/shuffle stages is memory *gather* bandwidth — see the
+`rand_access_units_at_*` probe in `BENCH/host_calibration.json`,
+which on this VM collapses under parallel random access (e.g. 8
+workers achieving 1.1 workers' worth) while pure compute scales.
 """
 
 try:
