@@ -54,6 +54,7 @@ HEADLINE = [
     "host_aggregates",
     "contamination",
     "pii_scan",
+    "clean_lines",
     "search_filters",
     "search_facets",
     "search_parentchild",

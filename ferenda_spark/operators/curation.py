@@ -272,3 +272,67 @@ def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
     # string as the canon key (still dedups exact copies)
     canon = F.when(scheme == "", u).otherwise(canon)
     return df.withColumn("canon_url", canon).withColumn("url_host", host)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 3,
+    blacklist: tuple[str, ...] = ("javascript", "cookie", "©"),
+) -> DataFrame:
+    """C4-style line-wise cleaning (Raffel et al. §2.2; same family
+    as RefinedWeb's line-level rules): keep only lines that
+
+    - end in terminal punctuation ('.', '!', '?'),
+    - have at least `min_words` whitespace-separated words, and
+    - contain no blacklisted substring (case-insensitive) — the
+      boilerplate markers (javascript notices, cookie banners,
+      copyright lines) C4 drops.
+
+    Output (id, clean_text, n_lines, n_lines_removed) for EVERY row;
+    clean_text re-joins the kept lines with '\\n' in original order.
+
+    Plan shape: posexplode(split) → codegen'd filters → one
+    partial-aggregated groupBy(id) reassembling via
+    sort_array(collect_list(struct(pos, line))) — the same bounded
+    per-doc aggregation as dedup.remove_duplicate_spans; no Python,
+    no window, shuffle keyed on id only."""
+    lines = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    keep = (
+        F.col("line").rlike(r"[.!?]$")
+        & (F.size(F.split(F.col("line"), r"\s+")) >= min_words)
+    )
+    low = F.lower(F.col("line"))
+    for b in blacklist:
+        keep = keep & ~F.contains(low, F.lit(b))
+    kept = lines.filter(keep)
+    reassembled = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x.line,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    return (
+        ids.join(totals, "id", "left")
+        .join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -998,6 +998,67 @@ FROM n
 """
 
 
+def _messy_page_expr():
+    """Deterministic 6-line messy web page per doc — nav bar, a real
+    sentence from the doc text, a too-short exclamation, a cookie
+    banner, a second real sentence, a copyright footer — built from
+    the same (doc_id, text) columns in BOTH engines."""
+    return F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.concat(F.substring(F.col("text"), 1, 60), F.lit(" end of sentence.")),
+        F.lit("OK!"),
+        F.lit("Please accept our Cookie policy to continue."),
+        F.concat(
+            F.lit("Document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" summary follows?"),
+        ),
+        F.lit("© 2020 Example Corp. All rights reserved."),
+    )
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line-wise cleaning (curation.clean_lines) over a
+    deterministic messy multi-line corpus: keep lines ending in
+    terminal punctuation with >= 3 words and no boilerplate marker
+    (javascript/cookie/©)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.select("doc_id", _messy_page_expr().alias("page"))
+    return CU.clean_lines(messy, "page", "doc_id")
+
+
+ORACLE_CLEAN_LINES = r"""
+WITH m AS (SELECT doc_id,
+       'Home | About | Contact' || chr(10)
+       || substr(text, 1, 60) || ' end of sentence.' || chr(10)
+       || 'OK!' || chr(10)
+       || 'Please accept our Cookie policy to continue.' || chr(10)
+       || 'Document ' || CAST(doc_id AS VARCHAR) || ' summary follows?' || chr(10)
+       || '© 2020 Example Corp. All rights reserved.' AS page
+  FROM documents),
+l AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, trim(parts[CAST(i AS INT)]) AS line
+      FROM (SELECT doc_id, string_split(page, chr(10)) AS parts FROM m),
+           unnest(range(1, len(parts) + 1)) AS t(i)),
+k AS (SELECT doc_id, pos, line FROM l
+      WHERE regexp_matches(line, '[.!?]$')
+        AND len(regexp_split_to_array(line, '\s+')) >= 3
+        AND NOT contains(lower(line), 'javascript')
+        AND NOT contains(lower(line), 'cookie')
+        AND NOT contains(lower(line), '©')),
+re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM k GROUP BY 1),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1)
+SELECT d.doc_id AS id,
+       COALESCE(re.clean_text, '') AS clean_text,
+       COALESCE(tot.n, 0) AS n_lines,
+       COALESCE(tot.n, 0) - COALESCE(re.n_kept, 0) AS n_lines_removed
+FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+                 LEFT JOIN re ON d.doc_id = re.doc_id
+"""
+
+
 # =============================================== training-data: similarity
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -1933,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_scan": q_pii_scan,
         "url_canon": q_url_canon,
+        "clean_lines": q_clean_lines,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1994,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
+        "clean_lines": ORACLE_CLEAN_LINES,
         "ann_bruteforce": ORACLE_ANN,
         "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,

@@ -158,3 +158,31 @@ def test_normalize_urls(spark):
         normalize_urls(df, "url")._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_clean_lines(spark):
+    from ferenda_spark.operators.curation import clean_lines
+
+    page = "\n".join(
+        [
+            "Home | About | Contact",            # no terminal punct
+            "This sentence survives the cut.",   # keep
+            "OK!",                               # < 3 words
+            "We use Cookie banners here.",       # blacklist (case-insens)
+            "  Padded but otherwise fine too.  ",# keep (trimmed)
+            "© 2024 Footer Corp.",               # blacklist ©
+            "what about this one?",              # keep (terminal ?)
+        ]
+    )
+    rows = [(0, page), (1, ""), (2, None), (3, "all lines fail here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in clean_lines(df, "text", "doc_id").collect()}
+    assert out[0]["clean_text"] == (
+        "This sentence survives the cut.\n"
+        "Padded but otherwise fine too.\n"
+        "what about this one?"
+    )
+    assert (out[0]["n_lines"], out[0]["n_lines_removed"]) == (7, 4)
+    assert out[1] ["clean_text"] == "" and out[1]["n_lines"] == 1
+    assert out[2]["clean_text"] == "" and out[2]["n_lines"] == 0
+    assert (out[3]["n_lines"], out[3]["n_lines_removed"]) == (1, 1)
