@@ -1080,9 +1080,70 @@ SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
 """
 
 
+def _sql_hex16_hugeint(h16: str) -> str:
+    """Hex-digit arithmetic twin of similarity.hyperplanes' 64-bit
+    parse: the first 16 md5 hex chars as an exact HUGEINT (per-digit
+    products exceed BIGINT, so every term is HUGEINT)."""
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({h16}, {k + 1}, 1)) - 1"
+        f" AS HUGEINT) * CAST('{16 ** (15 - k)}' AS HUGEINT)"
+        for k in range(16)
+    )
+    return f"({terms})"
+
+
+def _oracle_ann_lsh(
+    seed: int = 42, tables: int = 12, n_planes: int = 3, dim: int = 64, k: int = 5
+) -> str:
+    """Full SQL twin of similarity.lsh_topk: the md5-derived
+    hyperplanes are recomputed digit-exactly (u/2^64 is a
+    power-of-two division, so HUGEINT→DOUBLE then divide reproduces
+    Python's correctly-rounded u / 2**64 bit for bit), buckets are
+    the per-table sign codes, candidates the bucket equi-join, and
+    the re-rank is the ORACLE_ANN cosine window over the candidate
+    set."""
+    h = _sql_hex16_hugeint(
+        "substr(md5(CAST(" + str(seed) + " + 1000 * t.t AS VARCHAR) || ':' || "
+        "CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)), 1, 16)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT t.t, p.p, d.d,
+         (CAST({h} AS DOUBLE) / 18446744073709551616.0) * 2.0 - 1.0 AS val
+  FROM (SELECT unnest(range(0, {tables})) AS t) t,
+       (SELECT unnest(range(0, {n_planes})) AS p) p,
+       (SELECT unnest(range(0, {dim})) AS d) d),
+ex AS (SELECT vec_id, CAST(i AS INT) - 1 AS d, v[CAST(i AS INT)] AS x
+       FROM e, unnest(range(1, len(v) + 1)) AS t(i)),
+dots AS (SELECT ex.vec_id, pl.t, pl.p, SUM(ex.x * pl.val) AS dot
+         FROM ex JOIN planes pl ON ex.d = pl.d
+         GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, t,
+                 SUM(CASE WHEN dot >= 0
+                          THEN (1 << ({n_planes - 1} - CAST(p AS INT)))
+                          ELSE 0 END) AS code
+          FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM codes q JOIN codes c ON q.t = c.t AND q.code = c.code
+         WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+s AS (SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM cand JOIN e q ON cand.query_id = q.vec_id
+                JOIN e c ON cand.neighbor_id = c.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {k}
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-5 (approximate — recall vs brute force
-    asserted in tests; no SQL twin, hyperplanes are md5-derived)."""
+    asserted in tests).  Full SQL twin: the md5-derived hyperplanes
+    are digit-exactly recomputable in DuckDB (_oracle_ann_lsh), so
+    buckets, candidate sets, and ranks all cross-check."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -2082,8 +2143,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _oracle_kg_hits(),
         "keyword_terms": _oracle_keyword_terms(),
         "kg_search_docs": _oracle_kg_search_docs(),
-        # ann_lsh: non-SQL-expressible (hyperplane LSH); the recall
-        # pytest covers it.  The kg_* oracles above read the
+        # ann_lsh: full SQL twin — the md5-derived hyperplanes are
+        # digit-exactly reproducible (see _oracle_ann_lsh); the
+        # recall pytest additionally bounds approximation quality.
+        "ann_lsh": _oracle_ann_lsh(),
+        # The kg_* oracles above read the
         # COMMITTED seed-42 n400 fixture export and recompute the
         # relational logic independently in DuckDB — kg_triples
         # recomputes the whole emit -> CC -> rewrite chain from the
