@@ -55,6 +55,7 @@ HEADLINE = [
     "contamination",
     "pii_scan",
     "clean_lines",
+    "pack_plan",
     "search_filters",
     "search_facets",
     "search_parentchild",

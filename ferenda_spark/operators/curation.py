@@ -336,3 +336,76 @@ def clean_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def sequence_pack_plan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seq_len: int = 2048,
+    shard_size: int = 100_000,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing plan — the GPT-style
+    pretraining batch layout: documents concatenate in id order and
+    the token stream chunks into fixed `seq_len` windows; each doc's
+    row says where its text lands (global token offset, sequence
+    index, offset inside that sequence).  Token = whitespace token
+    of the normalized text, identical to textstats.token_count's
+    n_ws_tokens.
+
+    The global running sum is NOT a global no-partition window (the
+    single-reducer anti-pattern this repo's paginate/search work
+    eliminated): ids are RANGE-sharded on the order key
+    (shard = id div shard_size), per-shard token totals partial-
+    aggregate into one row per shard, the shard-prefix cumsum runs
+    over that tiny table (|shards| = |docs|/shard_size rows — at
+    10^12 docs and 10M-doc shards, 10^5 rows), and the broadcast
+    prefix joins back so the within-shard cumsum window is
+    PARTITIONED BY shard.  The standard two-phase distributed prefix
+    sum: shuffle = one |shards|-row agg + one shard-partitioned
+    window, never a global sort.
+
+    Output (id, n_tokens, global_start, seq_id, seq_offset).
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        # NULL text = zero tokens (size(split(NULL)) is NULL)
+        F.coalesce(
+            F.size(F.split(normalize_text(F.col(text_col)), " ")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn("shard", F.floor(F.col("id") / shard_size))
+    shard_tot = t.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    w_prefix = (
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("tot").over(w_prefix), F.lit(0)).alias("before"),
+    )
+    w_intra = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        t.join(F.broadcast(prefix), "shard")
+        .withColumn(
+            "global_start",
+            F.col("before")
+            + F.coalesce(F.sum("n_tokens").over(w_intra), F.lit(0)),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.col("global_start").cast("long").alias("global_start"),
+            F.floor(F.col("global_start") / seq_len)
+            .cast("long")
+            .alias("seq_id"),
+            (F.col("global_start") % seq_len).cast("long").alias("seq_offset"),
+        )
+    )
+    return out

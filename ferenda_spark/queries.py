@@ -1018,6 +1018,41 @@ def _messy_page_expr():
     )
 
 
+PACK_SEQ_LEN = 512
+PACK_SHARD = 100
+
+
+def q_pack_plan(spark, sf_dir):
+    """Sequence-packing plan (curation.sequence_pack_plan): concat
+    docs in id order, chunk the token stream into 512-token
+    sequences; per doc (global token offset, sequence id, offset) —
+    distributed two-phase prefix sum, no global window."""
+    return CU.sequence_pack_plan(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        seq_len=PACK_SEQ_LEN,
+        shard_size=PACK_SHARD,
+    )
+
+
+ORACLE_PACK_PLAN = f"""
+WITH t AS (SELECT doc_id AS id,
+                  CAST(COALESCE(len(string_split({_SQL_NORM}, ' ')), 0)
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS global_start
+      FROM t)
+SELECT id, n_tokens, global_start,
+       CAST(FLOOR(global_start / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(global_start % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 def q_clean_lines(spark, sf_dir):
     """C4-style line-wise cleaning (curation.clean_lines) over a
     deterministic messy multi-line corpus: keep lines ending in
@@ -2056,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "url_canon": q_url_canon,
         "clean_lines": q_clean_lines,
+        "pack_plan": q_pack_plan,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2118,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
         "clean_lines": ORACLE_CLEAN_LINES,
+        "pack_plan": ORACLE_PACK_PLAN,
         "ann_bruteforce": ORACLE_ANN,
         "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,

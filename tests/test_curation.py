@@ -186,3 +186,60 @@ def test_clean_lines(spark):
     assert out[1] ["clean_text"] == "" and out[1]["n_lines"] == 1
     assert out[2]["clean_text"] == "" and out[2]["n_lines"] == 0
     assert (out[3]["n_lines"], out[3]["n_lines_removed"]) == (1, 1)
+
+
+def test_sequence_pack_plan(spark):
+    from ferenda_spark.operators.curation import sequence_pack_plan
+
+    # token counts: 3, 5, 2, 4 -> starts 0, 3, 8, 10; seq_len=4:
+    # seq ids 0,0,2,2; offsets 0,3,0,2.  shard_size=2 forces the
+    # two-phase path (2 shards with a nonzero prefix for shard 1)
+    rows = [
+        (0, "a b c"),
+        (1, "d e f g h"),
+        (2, "i j"),
+        (3, "k l m n"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_tokens"], r["global_start"], r["seq_id"], r["seq_offset"])
+        for r in sequence_pack_plan(
+            df, "text", "doc_id", seq_len=4, shard_size=2
+        ).collect()
+    }
+    assert out == {
+        0: (3, 0, 0, 0),
+        1: (5, 3, 0, 3),
+        2: (2, 8, 2, 0),
+        3: (4, 10, 2, 2),
+    }
+
+
+def test_sequence_pack_plan_window_is_shard_partitioned(spark):
+    from ferenda_spark.operators.curation import sequence_pack_plan
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("w x y z").alias("text")
+    )
+    plan = (
+        sequence_pack_plan(df, "text", "doc_id", shard_size=100)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the doc-level cumsum window must carry the shard partition key
+    # (no global no-partition window over the full doc table)
+    import re as _re
+
+    doc_windows = [
+        ln for ln in plan.split("\n") if "windowspecdefinition" in ln.lower()
+    ]
+    assert doc_windows, plan
+    # every window over the doc table partitions by shard; the only
+    # unpartitioned window is the |shards|-row prefix cumsum
+    unpart = [
+        ln
+        for ln in doc_windows
+        if "shard" not in ln.split("windowspecdefinition")[1][:80]
+    ]
+    assert len(unpart) <= 1, plan
