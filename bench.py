@@ -56,6 +56,7 @@ HEADLINE = [
     "pii_scan",
     "clean_lines",
     "pack_plan",
+    "weighted_sample",
     "search_filters",
     "search_facets",
     "search_parentchild",

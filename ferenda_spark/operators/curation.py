@@ -409,3 +409,57 @@ def sequence_pack_plan(
         )
     )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-domain weighted downsampling — the mixture-
+    building step (domain reweighting a la The Pile / DoReMi-style
+    fixed mixtures): keep a row iff its reproducible uniform draw
+    u(key, id) falls below the domain's rate.  No RNG state: u is
+    the first 12 md5 hex chars of 'key:id' over 16^12 — a 48-bit
+    integer, exactly representable in a double, divided by a power
+    of two, so EVERY engine computes the identical u and the sample
+    is reproducible row-for-row across runs, engines, and cluster
+    sizes (the property rand() sampling cannot give).
+
+    `rates` is config-sized (one entry per domain override) and
+    compiles to a chained CASE — pure projection, zero shuffle.
+    Output kept rows only: (id, key, u).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col),
+                        F.lit(":"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**12))
+    )
+    rate = F.lit(float(default_rate))
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == key, F.lit(float(r))).otherwise(rate)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("key"),
+            u.alias("u"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("u") < F.col("_rate"))
+        .select("id", "key", "u")
+    )

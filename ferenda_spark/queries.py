@@ -1018,6 +1018,54 @@ def _messy_page_expr():
     )
 
 
+#: mixture weights for the weighted-sample query: src1 downweighted,
+#: src3 dropped entirely, everything else at the default rate
+SAMPLE_RATES = {"src1": 0.25, "src3": 0.0}
+SAMPLE_DEFAULT = 0.6
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic per-domain weighted downsampling
+    (curation.weighted_sample): md5-threshold draws, reproducible
+    row-for-row across engines — src1 kept at 25%, src3 dropped,
+    default 60%."""
+    return CU.weighted_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT,
+    )
+
+
+def _sql_hex12_bigint(h12: str) -> str:
+    """First 12 md5 hex chars as an exact BIGINT (48 bits)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h12}, {k + 1}, 1)) - 1)"
+        f" * {16 ** (11 - k)}"
+        for k in range(12)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _oracle_weighted_sample() -> str:
+    u = _sql_hex12_bigint("substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 12)")
+    whens = " ".join(
+        "WHEN '{}' THEN {}".format(k, v) for k, v in sorted(SAMPLE_RATES.items())
+    )
+    rate = f"CASE source {whens} ELSE {SAMPLE_DEFAULT} END"
+    return f"""
+WITH s AS (SELECT doc_id AS id, source AS key,
+                  CAST({u} AS DOUBLE) / {float(16 ** 12)} AS u,
+                  {rate} AS rate
+           FROM documents)
+SELECT id, key, u FROM s WHERE u < rate
+"""
+
+
+ORACLE_WEIGHTED_SAMPLE = _oracle_weighted_sample()
+
+
 PACK_SEQ_LEN = 512
 PACK_SHARD = 100
 
@@ -2092,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "clean_lines": q_clean_lines,
         "pack_plan": q_pack_plan,
+        "weighted_sample": q_weighted_sample,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2155,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": ORACLE_URL_CANON,
         "clean_lines": ORACLE_CLEAN_LINES,
         "pack_plan": ORACLE_PACK_PLAN,
+        "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "ann_bruteforce": ORACLE_ANN,
         "ann_ivf": ORACLE_ANN_IVF,
         "neardup_threshold": ORACLE_NEARDUP,

@@ -243,3 +243,28 @@ def test_sequence_pack_plan_window_is_shard_partitioned(spark):
         if "shard" not in ln.split("windowspecdefinition")[1][:80]
     ]
     assert len(unpart) <= 1, plan
+
+
+def test_weighted_sample(spark):
+    from ferenda_spark.operators.curation import weighted_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    out = weighted_sample(
+        df, "host", "doc_id", rates={"a": 0.0}, default_rate=0.5
+    ).collect()
+    keys = {r["key"] for r in out}
+    assert keys == {"b"}                       # rate 0 drops every 'a'
+    assert 20 <= len(out) <= 80                # ~50% of the 100 'b' rows
+    assert all(0.0 <= r["u"] < 0.5 for r in out)
+    # deterministic: same call, identical sample
+    again = weighted_sample(
+        df, "host", "doc_id", rates={"a": 0.0}, default_rate=0.5
+    ).collect()
+    assert {(r["id"], r["u"]) for r in again} == {(r["id"], r["u"]) for r in out}
+    # rate 1.0 keeps everything
+    full = weighted_sample(df, "host", "doc_id", rates={}, default_rate=1.0)
+    assert full.count() == 200
+    # pure projection: no shuffle
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
