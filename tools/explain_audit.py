@@ -261,6 +261,43 @@ def main():
 
     checks.append(
         (
+            "clean_lines",
+            catalog.q_clean_lines(spark, SF),
+            [
+                ("reassembly partial-aggregated", lambda p: "HashAggregate" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("no global sort", lambda p: "Sort " not in p.split("\n\n")[0]),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "pack_plan",
+            catalog.q_pack_plan(spark, SF),
+            [
+                # doc-level cumsum window must be shard-partitioned
+                ("shard-partitioned window",
+                 lambda p: "windowspecdefinition(shard" in p),
+                ("prefix table broadcast", lambda p: "BroadcastHashJoin" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "weighted_sample",
+            catalog.q_weighted_sample(spark, SF),
+            [
+                ("no shuffle", lambda p: "Exchange" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+    checks.append(
+        (
             "dup_span_cut",
             catalog.q_dup_span_cut(spark, SF),
             [
