@@ -67,17 +67,33 @@ print(json.dumps(out))
 EOF
 cat BENCH/host_calibration.json >&2
 
-calib() { # $1 = cores -> effective units right now
+calib() { # $1 = cores -> "compute_units gather_units" right now
+  # compute grant alone cannot flag a bad window (measured: 9.7/8
+  # compute units while the job ran 3.6x slow) — the gather probe is
+  # the discriminating signal for wide hash/shuffle stages
   python3 - "$1" <<'PYEOF'
 import sys, time, multiprocessing as mp
+import numpy as np
 def burn(_):
     t0 = time.time(); x = 0
     for i in range(10_000_000): x += i * i
     return time.time() - t0
+def gather(seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.random(16_000_000)
+    idx = rng.integers(0, a.size, 8_000_000)
+    t0 = time.time()
+    for _ in range(2):
+        a[idx].sum()
+    return time.time() - t0
 n = int(sys.argv[1]); base = burn(0)
 t0 = time.time()
 with mp.Pool(n) as p: p.map(burn, range(n))
-print(round(n * base / (time.time() - t0), 2))
+units = round(n * base / (time.time() - t0), 2)
+g1 = gather(0)
+with mp.Pool(n) as p: r = p.map(gather, range(n))
+gunits = round(n * g1 / max(r), 2)
+print(units, gunits)
 PYEOF
 }
 
@@ -101,16 +117,18 @@ run() { # $1 = cores, $2 = rep
     bench.py 2>"BENCH/bench_local$1_r$2.log" | tail -1 \
     > "BENCH/bench_local$1_r$2.json"
   units_after=$(calib "$1")
-  python3 - "$1" "$2" "$units_before" "$units_after" <<'PYEOF'
+  python3 - "$1" "$2" $units_before $units_after <<'PYEOF'
 import json, sys
-n, r, ub, ua = sys.argv[1:]
+n, r, ub, gb, ua, ga = sys.argv[1:]
 f = f"BENCH/bench_local{n}_r{r}.json"
 d = json.load(open(f))
 d["effective_units_before"] = float(ub)
 d["effective_units_after"] = float(ua)
+d["gather_units_before"] = float(gb)
+d["gather_units_after"] = float(ga)
 json.dump(d, open(f, "w"))
 print(f"local[{n}] rep{r}: {d['kg']['triples_per_sec']} t/s "
-      f"(host units {ub}->{ua})", file=sys.stderr)
+      f"(host units {ub}->{ua}, gather {gb}->{ga})", file=sys.stderr)
 PYEOF
 }
 
@@ -148,9 +166,13 @@ def calib_ctx(n):
     out = []
     for f in sorted(glob.glob(f"BENCH/bench_local{n}_r*.json")):
         d = json.load(open(f))
-        out.append({"t_per_s": d["kg"]["triples_per_sec"],
-                    "units_before": d.get("effective_units_before"),
-                    "units_after": d.get("effective_units_after")})
+        ctx = {"t_per_s": d["kg"]["triples_per_sec"],
+               "units_before": d.get("effective_units_before"),
+               "units_after": d.get("effective_units_after")}
+        if d.get("gather_units_before") is not None:
+            ctx["gather_before"] = d["gather_units_before"]
+            ctx["gather_after"] = d.get("gather_units_after")
+        out.append(ctx)
     return out
 t1, t2 = b1["kg"]["triples_per_sec"], b2["kg"]["triples_per_sec"]
 eff = (t2 / t1) / (int(n2) / int(n1))
