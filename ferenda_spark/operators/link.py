@@ -68,11 +68,6 @@ def link_names(
         "left",
     ).drop("name_lower")
 
-    hits = exact.filter(F.col("label").isNotNull()).withColumn(
-        "link_method", F.lit("exact")
-    )
-    misses = exact.filter(F.col("label").isNull()).drop("label")
-
     cand = [(r["name_lower"], r["label"]) for r in lookup.collect()]
     cutoff = cfg.fuzzy_cutoff
 
@@ -94,22 +89,32 @@ def link_names(
     # difflib is O(|label|²) per candidate — run it once per DISTINCT
     # unmatched surface form (misspellings repeat across a corpus:
     # web-scale name distributions are Zipf), then broadcast-join the
-    # tiny resolution table back onto the rows.
+    # tiny resolution table back onto the rows.  Whether a name
+    # exact-matches is a function of the name alone, so hit/miss
+    # never splits rows of one surface form across branches — which
+    # is what lets this stay ONE scan of `names` (exact left-join,
+    # fuzzy-resolution left-join, coalesce) instead of the
+    # hits/misses filter pair + union that would scan the upstream
+    # (a segment-table slice) twice per consumer.
     miss_names = (
-        misses.select(F.col(name_col).alias("_fz_name"))
+        exact.filter(F.col("label").isNull())
+        .select(F.col(name_col).alias("_fz_name"))
         .distinct()
-        .withColumn("label", fuzzy_match(F.col("_fz_name")))
+        .withColumn("_fz_label", fuzzy_match(F.col("_fz_name")))
     )
-    fuzzy = (
-        misses.join(
+    return (
+        exact.join(
             F.broadcast(miss_names),
-            misses[name_col] == miss_names["_fz_name"],
+            exact[name_col] == miss_names["_fz_name"],
             "left",
         )
         .drop("_fz_name")
         .withColumn(
             "link_method",
-            F.when(F.col("label").isNotNull(), F.lit("fuzzy")).otherwise(F.lit(None)),
+            F.when(F.col("label").isNotNull(), F.lit("exact")).when(
+                F.col("_fz_label").isNotNull(), F.lit("fuzzy")
+            ),
         )
+        .withColumn("entity_label", F.coalesce("label", "_fz_label"))
+        .drop("label", "_fz_label")
     )
-    return hits.unionByName(fuzzy).withColumnRenamed("label", "entity_label")
