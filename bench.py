@@ -129,6 +129,7 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_KG_REPS", "2"))
     kg_secs, n_triples, kg = None, 0, None
     rep_secs: list[float] = []
+    rep_spans: list[list[float]] = []  # [start_epoch, end_epoch] per build
     for rep in range(max(1, reps)):
         spark.catalog.clearCache()
         pages = spark.read.parquet(pages_path).persist(StorageLevel.MEMORY_AND_DISK)
@@ -139,6 +140,7 @@ def main() -> None:
         secs = time.time() - t0
         print(f"# kg_pipeline rep{rep}: {secs:.3f}s", file=sys.stderr)
         rep_secs.append(round(secs, 3))
+        rep_spans.append([round(t0, 3), round(t0 + secs, 3)])
         kg_secs = secs if kg_secs is None else min(kg_secs, secs)
     t1 = time.time()
     n_edges = kg.edges.count()
@@ -232,6 +234,7 @@ def main() -> None:
             "edges": n_edges,
             "pipeline_sec": round(kg_secs, 3),
             "rep_secs": rep_secs,
+            "rep_spans": rep_spans,
             "triples_per_sec": round(n_triples / kg_secs, 1),
             "docs_per_sec": round(n_docs / kg_secs, 1),
             "incremental": inc,
