@@ -1,0 +1,155 @@
+"""Distributed RDF bulk I/O: N-Triples serialize + parse.
+
+Reference parity: `devel.py dumpstore nt > alltriples.nt`
+(/root/reference/ferenda/devel.py:787-805) dumps the whole
+triplestore as N-Triples, and the triplestore bulk-load path
+(/root/reference/ferenda/triplestore.py add_serialized_file) ingests
+the same format (S6).  The reference serializes through rdflib on
+one node; here both directions are pure Catalyst column expressions
+over the (subj, pred, obj, obj_is_uri, lang, datatype) triples
+table — line-per-triple, embarrassingly parallel, no Python worker,
+so a 10^12-triple dump is a single whole-stage-codegen'd projection
+feeding `write.text` (and partition count = output file count is
+controlled by the caller's repartition, not by this module).
+
+Escaping follows the N-Triples 1.1 grammar for the characters our
+literal values can contain: `\\`, `"`, newline, carriage return and
+tab are escaped on write and unescaped on read; UTF-8 passes through
+raw (N-Triples 1.1 is UTF-8).  Subject/predicate/datatype IRIs are
+minted by this pipeline and never contain `>` or whitespace, so they
+are emitted verbatim (documented contract, asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: sentinel used during unescape to protect `\\` pairs while the
+#: single-char escapes are rewritten.  N-Triples data never contains
+#: a raw NUL (the grammar forbids unescaped control characters), so
+#: the sentinel cannot collide with payload.
+_SENTINEL = "\x00"
+
+_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+
+def escape_literal(col: Column) -> Column:
+    """N-Triples string-literal escape as chained JVM `replace`
+    calls (backslash first so later rewrites can't double-escape)."""
+    for raw, esc in _ESCAPES:
+        col = F.replace(col, F.lit(raw), F.lit(esc))
+    return col
+
+
+def unescape_literal(col: Column) -> Column:
+    """Inverse of escape_literal.  `\\\\` pairs are parked on a
+    sentinel first so `\\n` etc. only match genuine single escapes."""
+    col = F.replace(col, F.lit("\\\\"), F.lit(_SENTINEL))
+    for raw, esc in _ESCAPES[1:]:
+        col = F.replace(col, F.lit(esc), F.lit(raw))
+    return F.replace(col, F.lit(_SENTINEL), F.lit("\\"))
+
+
+def ntriples_line(
+    subj: Column,
+    pred: Column,
+    obj: Column,
+    obj_is_uri: Column,
+    lang: Column,
+    datatype: Column,
+) -> Column:
+    """One N-Triples line per triple.  Literal objects get a
+    language tag OR a datatype IRI (RDF terms carry at most one;
+    lang wins if both are somehow set, matching rdflib)."""
+    tag = (
+        F.when(lang.isNotNull() & (lang != ""), F.concat(F.lit("@"), lang))
+        .when(
+            datatype.isNotNull() & (datatype != ""),
+            F.concat(F.lit("^^<"), datatype, F.lit(">")),
+        )
+        .otherwise(F.lit(""))
+    )
+    obj_term = F.when(obj_is_uri, F.concat(F.lit("<"), obj, F.lit(">"))).otherwise(
+        F.concat(F.lit('"'), escape_literal(obj), F.lit('"'), tag)
+    )
+    return F.concat(
+        F.lit("<"), subj, F.lit("> <"), pred, F.lit("> "), obj_term, F.lit(" .")
+    )
+
+
+def to_ntriples(triples: DataFrame, distinct: bool = True) -> DataFrame:
+    """triples table -> single-column DataFrame of N-Triples lines.
+
+    `distinct=True` applies graph set-semantics (a triplestore dump
+    has no duplicate statements — reference `dumpstore` dumps a
+    set-backed store); the dedup is one hash-aggregate shuffle on
+    the line itself, map-side combined.  Pass False for a raw
+    statement stream (e.g. when the input is already distinct)."""
+    lang = triples["lang"] if "lang" in triples.columns else F.lit(None)
+    dt = triples["datatype"] if "datatype" in triples.columns else F.lit(None)
+    out = triples.select(
+        ntriples_line(
+            triples["subj"], triples["pred"], triples["obj"],
+            triples["obj_is_uri"], lang, dt,
+        ).alias("line")
+    )
+    return out.distinct() if distinct else out
+
+
+def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Dump a triples table as an N-Triples file tree (one .nt shard
+    per partition).  The reference's single-process `dumpstore nt`
+    analog, distributed: serialization is a codegen'd projection, so
+    throughput is bounded by the text sink, not the formatter."""
+    lines = to_ntriples(triples)
+    if partitions:
+        lines = lines.repartition(partitions)
+    lines.write.mode("overwrite").text(path)
+
+
+# ------------------------------------------------------------------ parse
+
+#: whole-line shape: subject IRI, predicate IRI, object term, dot.
+#: Tolerates leading/trailing whitespace and \r (dumps from CRLF
+#: systems); comment and blank lines are filtered before this.
+_LINE_RE = r"^\s*<([^>]*)>\s+<([^>]*)>\s+(.+?)\s*\.\s*$"
+#: object-term shapes
+_OBJ_URI_RE = r"^<(.*)>$"
+_OBJ_LIT_RE = r'^"((?:[^"\\]|\\.)*)"'
+_OBJ_LANG_RE = r'"@([A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)$'
+_OBJ_DT_RE = r'"\^\^<([^>]*)>$'
+
+
+def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
+    """N-Triples lines -> (subj, pred, obj, obj_is_uri, lang,
+    datatype) — the bulk-load direction (reference
+    triplestore.py add_serialized_file).  Pure regexp_extract +
+    replace column work: a 100 TB .nt ingest is scan + projection,
+    no shuffle.  Comment (#...) and blank lines are dropped;
+    malformed lines are dropped too (filter on the full-line match),
+    mirroring a lenient bulk loader."""
+    src = lines.select(F.col(col).alias("_l"))
+    src = src.filter(
+        (F.trim("_l") != "") & ~F.trim("_l").startswith("#")
+        & F.col("_l").rlike(_LINE_RE)
+    )
+    obj_term = F.regexp_extract("_l", _LINE_RE, 3)
+    is_uri = obj_term.startswith("<")
+    lang = F.regexp_extract(obj_term, _OBJ_LANG_RE, 1)
+    dt = F.regexp_extract(obj_term, _OBJ_DT_RE, 1)
+    return src.select(
+        F.regexp_extract("_l", _LINE_RE, 1).alias("subj"),
+        F.regexp_extract("_l", _LINE_RE, 2).alias("pred"),
+        F.when(is_uri, F.regexp_extract(obj_term, _OBJ_URI_RE, 1))
+        .otherwise(unescape_literal(F.regexp_extract(obj_term, _OBJ_LIT_RE, 1)))
+        .alias("obj"),
+        is_uri.alias("obj_is_uri"),
+        F.when(lang != "", lang).alias("lang"),
+        F.when(dt != "", dt).alias("datatype"),
+    )
+
+
+def read_ntriples(spark, path: str) -> DataFrame:
+    """spark.read.text + parse: the distributed bulk-load entry."""
+    return parse_ntriples(spark.read.text(path), "value")

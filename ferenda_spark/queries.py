@@ -1482,7 +1482,10 @@ def _kg_export(kg, n: int, root: str | None = None) -> None:
     def w(df, name):
         df.write.mode("overwrite").parquet(os.path.join(root, name))
 
-    w(kg.triples.select("subj", "pred", "obj", "obj_is_uri"), "triples")
+    w(
+        kg.triples.select("subj", "pred", "obj", "obj_is_uri", "lang", "datatype"),
+        "triples",
+    )
     w(kg.edges.select("src_url", "dst_url", "pred"), "edges")
     w(kg.sameas.select("src", "dst"), "sameas")
     w(kg.doc_directory.select("doc_uri", "url"), "doc_directory")
@@ -1544,6 +1547,17 @@ def q_kg_triples(spark, sf_dir):
     FSM/extract/link stages are additionally checked by the golden
     pytest fixtures (tests/test_golden_pipeline.py, P/R≥0.95)."""
     return _kg(spark, sf_dir).triples.select("subj", "pred", "obj", "obj_is_uri")
+
+
+def q_kg_ntriples(spark, sf_dir):
+    """Distributed N-Triples dump of the KG (reference `devel.py
+    dumpstore nt`, devel.py:787-805): one spec-escaped line per
+    distinct statement, pure Catalyst string expressions — the
+    serializer a 10^12-triple store dump needs (codegen'd
+    projection + one set-semantics dedup shuffle, no Python)."""
+    from ferenda_spark.operators.rdfio import to_ntriples
+
+    return to_ntriples(_kg(spark, sf_dir).triples)
 
 
 def q_kg_edges(spark, sf_dir):
@@ -1677,6 +1691,28 @@ objs AS (SELECT DISTINCT obj AS uri FROM t WHERE obj_is_uri),
 subjs AS (SELECT DISTINCT subj AS uri FROM t)
 SELECT uri FROM objs o
 WHERE NOT EXISTS (SELECT 1 FROM subjs s WHERE s.uri = o.uri)
+"""
+
+
+def _oracle_kg_ntriples() -> str:
+    """Rebuild every N-Triples line in ANSI SQL from the committed
+    fixture (same escape chain as rdfio.escape_literal, backslash
+    first; lang tag wins over datatype, matching rdfio/rdflib)."""
+    esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    return f"""
+SELECT DISTINCT '<' || subj || '> <' || pred || '> ' ||
+  CASE WHEN obj_is_uri THEN '<' || obj || '>'
+       ELSE '"' || {esc} || '"' ||
+         CASE WHEN lang IS NOT NULL AND lang != '' THEN '@' || lang
+              WHEN datatype IS NOT NULL AND datatype != ''
+                THEN '^^<' || datatype || '>'
+              ELSE '' END
+  END || ' .' AS line
+FROM {_kg_t("triples")}
 """
 
 
@@ -2151,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_eval": q_map_eval,
         "age_rank": q_age_rank,
         "kg_triples": q_kg_triples,
+        "kg_ntriples": q_kg_ntriples,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2214,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         "map_eval": ORACLE_MAP_EVAL,
         "age_rank": ORACLE_AGE_RANK,
         "kg_triples": _oracle_kg_triples(),
+        "kg_ntriples": _oracle_kg_ntriples(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),
