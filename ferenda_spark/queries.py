@@ -1560,6 +1560,31 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(_kg(spark, sf_dir).triples)
 
 
+def q_kg_bgp(spark, sf_dir):
+    """SPARQL basic-graph-pattern SELECT compiled to DataFrame
+    joins (graphquery.bgp — the reference's triplestore SELECT,
+    devel.py:1098): fragments that cross-reference a published doc,
+    with the target's title/issued and the fragment's own optional
+    title, filtered to a publication window.  Four scans of the
+    triples table with the predicate constant pushed into each,
+    joined on shared variables, OPTIONAL as a left join."""
+    from ferenda_spark.config import DCT
+    from ferenda_spark.operators.graphquery import bgp
+
+    return bgp(
+        _kg(spark, sf_dir).triples,
+        [
+            ("?sec", DCT + "references", "?doc"),
+            ("?doc", DCT + "publisher", "?pub"),
+            ("?doc", DCT + "title", "?title"),
+            ("?doc", DCT + "issued", "?issued"),
+        ],
+        optionals=[[("?sec", DCT + "title", "?sectitle")]],
+        filters=["issued >= '1996-01'"],
+        select=["sec", "doc", "pub", "title", "issued", "sectitle"],
+    )
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -1713,6 +1738,35 @@ SELECT DISTINCT '<' || subj || '> <' || pred || '> ' ||
               ELSE '' END
   END || ' .' AS line
 FROM {_kg_t("triples")}
+"""
+
+
+def _oracle_kg_bgp() -> str:
+    """The same BGP as q_kg_bgp restated as explicit SQL joins over
+    the fixture triples — one CTE per triple pattern (predicate
+    constant as a WHERE), shared variables as join keys, OPTIONAL as
+    LEFT JOIN; the relational reading a SPARQL-on-SQL engine gives
+    the query."""
+    from ferenda_spark.config import DCT
+
+    t = _kg_t("triples")
+    return f"""
+WITH refs AS (SELECT subj AS sec, obj AS doc FROM {t}
+              WHERE pred = '{DCT}references'),
+pub  AS (SELECT subj AS doc, obj AS pub FROM {t}
+         WHERE pred = '{DCT}publisher'),
+ti   AS (SELECT subj AS doc, obj AS title FROM {t}
+         WHERE pred = '{DCT}title'),
+iss  AS (SELECT subj AS doc, obj AS issued FROM {t}
+         WHERE pred = '{DCT}issued'),
+st   AS (SELECT subj AS sec, obj AS sectitle FROM {t}
+         WHERE pred = '{DCT}title')
+SELECT DISTINCT refs.sec, refs.doc, pub.pub, ti.title, iss.issued,
+       st.sectitle
+FROM refs
+JOIN pub USING (doc) JOIN ti USING (doc) JOIN iss USING (doc)
+LEFT JOIN st ON st.sec = refs.sec
+WHERE iss.issued >= '1996-01'
 """
 
 
@@ -2188,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "age_rank": q_age_rank,
         "kg_triples": q_kg_triples,
         "kg_ntriples": q_kg_ntriples,
+        "kg_bgp": q_kg_bgp,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2252,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "age_rank": ORACLE_AGE_RANK,
         "kg_triples": _oracle_kg_triples(),
         "kg_ntriples": _oracle_kg_ntriples(),
+        "kg_bgp": _oracle_kg_bgp(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),

@@ -330,6 +330,50 @@ def main():
         )
     )
 
+    # 12. RDF bulk I/O + BGP compiler over a parquet triples table
+    # (the committed fixture stands in for the production store):
+    # serialization is a codegen'd projection, BGP pattern scans push
+    # their predicate constants into the parquet reader
+    from ferenda_spark.config import DCT
+    from ferenda_spark.operators.graphquery import bgp
+    from ferenda_spark.operators.rdfio import to_ntriples
+
+    tstore = spark.read.parquet("build/kg_export/n400/triples")
+    checks.append(
+        (
+            "kg_ntriples",
+            to_ntriples(tstore),
+            [
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("formatter is one projection over the scan",
+                 lambda p: "Project" in p and "Scan parquet" in p),
+                ("set-dedup is the only shuffle",
+                 lambda p: "HashAggregate" in p and p.count(") Exchange") == 1),
+            ],
+        )
+    )
+    checks.append(
+        (
+            "kg_bgp",
+            bgp(
+                tstore,
+                [
+                    ("?sec", DCT + "references", "?doc"),
+                    ("?doc", DCT + "publisher", "?pub"),
+                ],
+                select=["sec", "doc", "pub"],
+            ),
+            [
+                ("pred constants pushed to scan", lambda p: "PushedFilters" in p
+                 and "pred" in p.split("PushedFilters")[1][:200]),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("pattern join present", lambda p: "Join" in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
