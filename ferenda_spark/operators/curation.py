@@ -30,6 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -272,6 +273,40 @@ def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
     # string as the canon key (still dedups exact copies)
     canon = F.when(scheme == "", u).otherwise(canon)
     return df.withColumn("canon_url", canon).withColumn("url_host", host)
+
+
+#: Java-regex class matching any non-ASCII character — the gate for
+#: the Unicode-normalization slow path
+_NON_ASCII = "[^\\u0000-\\u007F]"
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str, form: str = "NFC"
+) -> DataFrame:
+    """Unicode-normalize a text column (default NFC — the form web
+    text should be in before hashing/dedup/tokenization; decomposed
+    sequences otherwise defeat exact dedup and fingerprinting of
+    visually-identical strings).
+
+    Scale design: normalization itself needs ICU-class tables, so it
+    runs as an Arrow-batched pandas UDF (pandas' vectorized
+    Series.str.normalize) — but ONLY for rows that contain a
+    non-ASCII character.  The `rlike` gate is a pure Catalyst
+    predicate, and ASCII text is NFC by construction, so on a
+    typical web corpus the overwhelming majority of rows never leave
+    the JVM; the Python path sees just the non-ASCII minority.
+    Zero shuffle either way (pure projection)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    t = F.col(text_col)
+    return df.withColumn(
+        text_col,
+        F.when(t.isNotNull() & t.rlike(_NON_ASCII), _norm(t)).otherwise(t),
+    )
 
 
 def clean_lines(

@@ -944,6 +944,35 @@ def _messy_url_expr():
     )
 
 
+def q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (curation.normalize_unicode) over a
+    deterministically 'decomposed' corpus: every 'a' in the document
+    text is replaced by 'a' + U+0301 (combining acute), so NFC must
+    recombine each pair into the single precomposed 'á' — real
+    normalization work, verified cross-engine by char count + md5 of
+    the normalized bytes.  The op's ASCII fast path keeps untouched
+    rows JVM-only; these rows all take the pandas slow path by
+    construction."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301"))
+    )
+    out = CU.normalize_unicode(messy, "text")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    )
+
+
+ORACLE_UNICODE_NFC = """
+SELECT doc_id,
+       length(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS n_chars,
+       md5(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS text_md5
+FROM documents
+"""
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (curation.normalize_urls) over a
     deterministic messy-URL corpus: case-folded scheme/host, default
@@ -2228,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_scan": q_pii_scan,
         "url_canon": q_url_canon,
+        "unicode_nfc": q_unicode_nfc,
         "clean_lines": q_clean_lines,
         "pack_plan": q_pack_plan,
         "weighted_sample": q_weighted_sample,
@@ -2294,6 +2324,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
+        "unicode_nfc": ORACLE_UNICODE_NFC,
         "clean_lines": ORACLE_CLEAN_LINES,
         "pack_plan": ORACLE_PACK_PLAN,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -268,3 +268,35 @@ def test_weighted_sample(spark):
     # pure projection: no shuffle
     plan = full._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_unicode(spark):
+    from ferenda_spark.operators.curation import normalize_unicode
+
+    rows = [
+        (1, "plain ascii stays"),
+        (2, "cafe\u0301 decomposed"),          # e + combining acute
+        (3, "a\u0301lready a\u0301 lot"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in normalize_unicode(df, "text").collect()}
+    assert out[1] == "plain ascii stays"
+    assert out[2] == "caf\u00e9 decomposed"     # precomposed é
+    assert out[3] == "\u00e1lready \u00e1 lot"
+    assert out[4] is None
+    assert out[5] == ""
+    # NFD round-trips back to decomposed
+    nfd = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(
+            normalize_unicode(df, "text"), "text", form="NFD"
+        ).collect()
+    }
+    assert nfd[2] == "cafe\u0301 decomposed"
+    # pure projection: no shuffle
+    plan = (
+        normalize_unicode(df, "text")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
