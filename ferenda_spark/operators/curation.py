@@ -309,6 +309,55 @@ def normalize_unicode(
     )
 
 
+#: UTF-8-read-as-latin1 leaves a lead byte (U+00C2..U+00F4 as a
+#: latin1 char) followed by a continuation byte (U+0080..U+00BF) —
+#: a pair essentially absent from clean text in any language.  Pure
+#: Catalyst gate for the repair slow path.
+_MOJIBAKE_MARK = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
+
+
+def fix_mojibake(df: DataFrame, text_col: str, max_passes: int = 3) -> DataFrame:
+    """Repair UTF-8-decoded-as-Latin-1 mojibake ('cafÃ©' -> 'café'),
+    the single most common web-crawl encoding defect (the ftfy
+    heuristic): re-encode the text as Latin-1 and, iff the bytes
+    form valid UTF-8, decode them as UTF-8; otherwise leave the row
+    untouched.  Applied to fixpoint (≤ max_passes) so doubly-mangled
+    text also recovers.
+
+    Scale design mirrors normalize_unicode: the repair runs as an
+    Arrow-batched pandas UDF, but only for rows matching the
+    mojibake indicator pair (a pure-Catalyst rlike) — clean ASCII
+    and clean non-ASCII text never leave the JVM.  Zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _fix_one(x):
+        for _ in range(max_passes):
+            if x is None:
+                return x
+            try:
+                b = x.encode("iso-8859-1")
+            except UnicodeEncodeError:
+                return x
+            try:
+                y = b.decode("utf-8")
+            except UnicodeDecodeError:
+                return x
+            if y == x:
+                return x
+            x = y
+        return x
+
+    @pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        return s.map(_fix_one)
+
+    t = F.col(text_col)
+    return df.withColumn(
+        text_col,
+        F.when(t.isNotNull() & t.rlike(_MOJIBAKE_MARK), _fix(t)).otherwise(t),
+    )
+
+
 def clean_lines(
     df: DataFrame,
     text_col: str,

@@ -973,6 +973,36 @@ FROM documents
 """
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (curation.fix_mojibake) proven by round-trip:
+    inject 'é' into the document text, mangle it IN THE JVM with the
+    exact defect the op targets (decode(encode(utf8) as latin1)),
+    repair, and emit char count + md5 of the repaired text.  The
+    oracle computes the same digest from the UNmangled text — a
+    green row is a cross-engine proof the repair is byte-exact."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit("a"), F.lit("é"))
+    )
+    moji = messy.withColumn(
+        "text", F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    )
+    out = CU.fix_mojibake(moji, "text")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    )
+
+
+ORACLE_FIX_MOJIBAKE = """
+SELECT doc_id,
+       length(replace(text, 'a', chr(233))) AS n_chars,
+       md5(replace(text, 'a', chr(233))) AS text_md5
+FROM documents
+"""
+
+
 def q_url_canon(spark, sf_dir):
     """URL canonicalization (curation.normalize_urls) over a
     deterministic messy-URL corpus: case-folded scheme/host, default
@@ -2258,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "url_canon": q_url_canon,
         "unicode_nfc": q_unicode_nfc,
+        "fix_mojibake": q_fix_mojibake,
         "clean_lines": q_clean_lines,
         "pack_plan": q_pack_plan,
         "weighted_sample": q_weighted_sample,
@@ -2325,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
         "unicode_nfc": ORACLE_UNICODE_NFC,
+        "fix_mojibake": ORACLE_FIX_MOJIBAKE,
         "clean_lines": ORACLE_CLEAN_LINES,
         "pack_plan": ORACLE_PACK_PLAN,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,

@@ -300,3 +300,28 @@ def test_normalize_unicode(spark):
         normalize_unicode(df, "text")._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_fix_mojibake(spark):
+    from ferenda_spark.operators.curation import fix_mojibake
+
+    orig = "café – naïve résumé"
+    single = orig.encode("utf-8").decode("iso-8859-1")
+    double = single.encode("utf-8").decode("iso-8859-1")
+    rows = [
+        (1, single),                      # classic utf8-as-latin1
+        (2, double),                      # doubly mangled
+        (3, "plain ascii"),               # untouched, JVM fast path
+        (4, "clean café stays"),     # clean non-ASCII untouched
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in fix_mojibake(df, "text").collect()}
+    assert out[1] == orig
+    assert out[2] == orig
+    assert out[3] == "plain ascii"
+    assert out[4] == "clean café stays"
+    assert out[5] is None
+    # pure projection: no shuffle
+    plan = fix_mojibake(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
