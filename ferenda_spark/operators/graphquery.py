@@ -48,9 +48,48 @@ def _vname(term: str) -> str:
     return term[1:]
 
 
-def _pattern_df(triples: DataFrame, pattern) -> DataFrame:
-    """One triple pattern -> (filtered, renamed) scan."""
+def property_path(
+    triples: DataFrame, pred: str, min_hops: int = 1, max_hops: int = 3
+) -> DataFrame:
+    """(src, dst) pairs connected by `pred` chains of min..max hops —
+    the bounded reading of SPARQL's `pred+` (the unbounded closure is
+    a non-starter at 10^12 triples; the reference itself bounds its
+    isPartOf* annotation walk to 3, documentrepository.py via
+    relate.annotations).  One selective scan of the predicate, then
+    max_hops-1 self-joins on the frontier; each hop's frontier is the
+    only thing shuffled, and containment-style predicates fan out
+    sublinearly so the frontier shrinks as it climbs."""
+    step = triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    out = step if min_hops <= 1 else None
+    hop = step
+    for i in range(2, max_hops + 1):
+        hop = (
+            hop.alias("a")
+            .join(step.alias("b"), F.col("a.dst") == F.col("b.src"), "inner")
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        if i >= min_hops:
+            out = hop if out is None else out.union(hop)
+    return out.distinct()
+
+
+def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFrame:
+    """One triple pattern -> (filtered, renamed) scan.  A predicate
+    string ending in '+' compiles to property_path (bounded
+    transitive closure; subject and object must both be variables —
+    ground endpoints can be expressed with an extra ground join)."""
     s, p, o = pattern
+    if isinstance(p, str) and p.endswith("+") and _is_var(s) and _is_var(o):
+        pairs = property_path(triples, p[:-1], 1, max_path_hops)
+        return pairs.select(
+            F.col("src").alias(_vname(s)),
+            F.col("dst").alias(_vname(o)),
+            F.lit(True).alias(f"_isuri_{_vname(o)}"),
+            F.lit(None).cast("string").alias(f"_lang_{_vname(o)}"),
+            F.lit(None).cast("string").alias(f"_dt_{_vname(o)}"),
+        )
     df = triples
     cols = []
     if _is_var(s):
@@ -123,6 +162,7 @@ def bgp(
     filters=(),
     select=None,
     distinct: bool = True,
+    max_path_hops: int = 3,
 ) -> DataFrame:
     """SELECT over a basic graph pattern.
 
@@ -133,14 +173,14 @@ def bgp(
     select: variable names (without "?") to project; default all.
     """
     ordered = _order_patterns(patterns)
-    out = _pattern_df(triples, ordered[0])
+    out = _pattern_df(triples, ordered[0], max_path_hops)
     for pat in ordered[1:]:
-        out = _join(out, _pattern_df(triples, pat))
+        out = _join(out, _pattern_df(triples, pat, max_path_hops))
     for group in optionals:
         g = _order_patterns(group)
-        gdf = _pattern_df(triples, g[0])
+        gdf = _pattern_df(triples, g[0], max_path_hops)
         for pat in g[1:]:
-            gdf = _join(gdf, _pattern_df(triples, pat))
+            gdf = _join(gdf, _pattern_df(triples, pat, max_path_hops))
         out = _join(out, gdf, "left")
     for f in filters:
         out = out.filter(F.expr(f))
@@ -155,6 +195,7 @@ def construct(
     template,
     optionals=(),
     filters=(),
+    max_path_hops: int = 3,
 ) -> DataFrame:
     """CONSTRUCT: match `where` (+ optionals/filters) and emit one
     triple per template entry per solution, in the engine's triples
@@ -167,14 +208,14 @@ def construct(
     term's own metadata (uri-ness, lang, datatype) captured by the
     WHERE clause."""
     ordered = _order_patterns(list(where))
-    full = _pattern_df(triples, ordered[0])
+    full = _pattern_df(triples, ordered[0], max_path_hops)
     for pat in ordered[1:]:
-        full = _join(full, _pattern_df(triples, pat))
+        full = _join(full, _pattern_df(triples, pat, max_path_hops))
     for group in optionals:
         g = _order_patterns(group)
-        gdf = _pattern_df(triples, g[0])
+        gdf = _pattern_df(triples, g[0], max_path_hops)
         for pat in g[1:]:
-            gdf = _join(gdf, _pattern_df(triples, pat))
+            gdf = _join(gdf, _pattern_df(triples, pat, max_path_hops))
         full = _join(full, gdf, "left")
     for f in filters:
         full = full.filter(F.expr(f))

@@ -1644,6 +1644,21 @@ def q_kg_bgp(spark, sf_dir):
     )
 
 
+def q_kg_paths(spark, sf_dir):
+    """SPARQL property path `isPartOf+` (bounded, 3 hops — the
+    reference's own annotation-walk bound) via graphquery's path
+    pattern: every (part, ancestor) pair in the containment tree,
+    computed as frontier self-joins on one predicate-pushed scan."""
+    from ferenda_spark.config import DCT
+    from ferenda_spark.operators.graphquery import bgp
+
+    return bgp(
+        _kg(spark, sf_dir).triples,
+        [("?part", DCT + "isPartOf+", "?anc")],
+        select=["part", "anc"],
+    )
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -1826,6 +1841,21 @@ FROM refs
 JOIN pub USING (doc) JOIN ti USING (doc) JOIN iss USING (doc)
 LEFT JOIN st ON st.sec = refs.sec
 WHERE iss.issued >= '1996-01'
+"""
+
+
+def _oracle_kg_paths() -> str:
+    """isPartOf{1..3} unrolled as explicit hop joins (same shape as
+    the unrolled-CTE pagerank/HITS twins)."""
+    from ferenda_spark.config import DCT
+
+    return f"""
+WITH e AS (SELECT subj AS src, obj AS dst FROM {_kg_t("triples")}
+           WHERE pred = '{DCT}isPartOf'),
+h2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+h3 AS (SELECT a.src, b.dst FROM h2 a JOIN e b ON a.dst = b.src)
+SELECT DISTINCT src AS part, dst AS anc FROM (
+  SELECT * FROM e UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
 """
 
 
@@ -2304,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_ntriples": q_kg_ntriples,
         "kg_bgp": q_kg_bgp,
+        "kg_paths": q_kg_paths,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2371,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _oracle_kg_triples(),
         "kg_ntriples": _oracle_kg_ntriples(),
         "kg_bgp": _oracle_kg_bgp(),
+        "kg_paths": _oracle_kg_paths(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),

@@ -134,3 +134,46 @@ def test_kg_bgp_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in duckdb.sql(_oracle_kg_bgp()).fetchall())
     assert got == want
     assert len(got) > 100
+
+
+def test_property_path_bounded_hops(spark):
+    from ferenda_spark.operators.graphquery import property_path
+
+    # chain a -> b -> c -> d -> e under pred "in"
+    rows = [(x, "in", y, True, None, None)
+            for x, y in [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]]
+    t = spark.createDataFrame(rows, SCHEMA)
+    got = {(r["src"], r["dst"]) for r in property_path(t, "in", 1, 3).collect()}
+    assert got == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),        # 1 hop
+        ("a", "c"), ("b", "d"), ("c", "e"),                    # 2 hops
+        ("a", "d"), ("b", "e"),                                # 3 hops
+    }
+    # min_hops=2 drops the direct edges
+    two_plus = {(r["src"], r["dst"]) for r in property_path(t, "in", 2, 3).collect()}
+    assert two_plus == {("a", "c"), ("b", "d"), ("c", "e"), ("a", "d"), ("b", "e")}
+
+
+def test_path_pattern_in_bgp(g):
+    # sections reach their doc (and only that) via partOf+; join
+    # the ancestor's title through a shared variable
+    got = bgp(
+        g,
+        [("?part", "partOf+", "?anc"), ("?anc", "title", "?t")],
+        select=["part", "anc", "t"],
+    ).collect()
+    assert {(r["part"], r["anc"], r["t"]) for r in got} == {
+        ("d1#s1", "d1", "Alpha"),
+        ("d2#s1", "d2", "Beta"),
+    }
+
+
+def test_kg_paths_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from ferenda_spark.queries import _oracle_kg_paths, q_kg_paths
+
+    got = sorted(tuple(r) for r in q_kg_paths(spark, None).collect())
+    want = sorted(tuple(r) for r in duckdb.sql(_oracle_kg_paths()).fetchall())
+    assert got == want
+    assert len(got) > 1000
