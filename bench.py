@@ -55,12 +55,17 @@ HEADLINE = [
     "contamination",
     "pii_scan",
     "clean_lines",
+    "unicode_nfc",
+    "fix_mojibake",
     "pack_plan",
     "weighted_sample",
     "search_filters",
     "search_facets",
     "search_parentchild",
     "crawl_windows",
+    "kg_ntriples",
+    "kg_bgp",
+    "kg_paths",
 ]
 
 
