@@ -25,30 +25,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: sentinel used during unescape to protect `\\` pairs while the
-#: single-char escapes are rewritten.  N-Triples data never contains
-#: a raw NUL (the grammar forbids unescaped control characters), so
-#: the sentinel cannot collide with payload.
-_SENTINEL = "\x00"
-
-_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+#: ECHAR escapes (N-Triples 1.1 grammar), backslash FIRST on the
+#: write side so later rewrites can't double-escape.
+_ESCAPES = [
+    ("\\", "\\\\"),
+    ('"', '\\"'),
+    ("\n", "\\n"),
+    ("\r", "\\r"),
+    ("\t", "\\t"),
+    ("\b", "\\b"),
+    ("\f", "\\f"),
+]
+#: remaining C0 controls (legal raw per the grammar, but raw
+#: controls round-trip poorly through text tooling — canonicalize
+#: them to UCHAR \u00XX on write)
+_OTHER_C0 = [chr(c) for c in range(0x20) if chr(c) not in "\t\n\r\b\f"]
+#: pure-Catalyst gate for the rare-control slow path
+_C0_MARK = "[\\x00-\\x08\\x0B\\x0E-\\x1F]"
 
 
 def escape_literal(col: Column) -> Column:
     """N-Triples string-literal escape as chained JVM `replace`
-    calls (backslash first so later rewrites can't double-escape)."""
+    calls: the seven ECHARs always; the 27 other C0 controls to
+    \\u00XX behind an rlike gate, so clean text (everything a normal
+    corpus emits) pays only the ECHAR chain."""
+    basic = col
     for raw, esc in _ESCAPES:
-        col = F.replace(col, F.lit(raw), F.lit(esc))
-    return col
+        basic = F.replace(basic, F.lit(raw), F.lit(esc))
+    full = basic
+    for c in _OTHER_C0:
+        full = F.replace(full, F.lit(c), F.lit("\\u%04x" % ord(c)))
+    return F.when(col.rlike(_C0_MARK), full).otherwise(basic)
+
+
+def _unescape_segment(seg: Column) -> Column:
+    """Unescape one split segment — segments contain only SINGLE
+    backslashes (doubles were the split delimiter), so every
+    backslash starts a genuine escape sequence."""
+    for raw, esc in _ESCAPES[1:]:
+        seg = F.replace(seg, F.lit(esc), F.lit(raw))
+    for c in range(0x20):
+        seg = F.replace(seg, F.lit("\\u%04x" % c), F.lit(chr(c)))
+        seg = F.replace(seg, F.lit("\\u%04X" % c), F.lit(chr(c)))
+    return seg
 
 
 def unescape_literal(col: Column) -> Column:
-    """Inverse of escape_literal.  `\\\\` pairs are parked on a
-    sentinel first so `\\n` etc. only match genuine single escapes."""
-    col = F.replace(col, F.lit("\\\\"), F.lit(_SENTINEL))
-    for raw, esc in _ESCAPES[1:]:
-        col = F.replace(col, F.lit(esc), F.lit(raw))
-    return F.replace(col, F.lit(_SENTINEL), F.lit("\\"))
+    """Inverse of escape_literal, correct for EVERY payload
+    (including literals that contain raw NULs or the six characters
+    `\\u0000` as plain text): split on literal `\\\\` pairs — inside
+    the resulting segments every remaining backslash begins a real
+    escape — unescape each segment, and rejoin with a single
+    backslash.  UCHARs outside the C0 range pass through untouched
+    (lenient; this engine never emits them).  Gated on containing a
+    backslash at all, so clean literals skip the whole machinery."""
+    slow = F.array_join(
+        F.transform(F.split(col, "\\\\\\\\", -1), _unescape_segment),
+        "\\",
+    )
+    return F.when(col.contains("\\"), slow).otherwise(col)
 
 
 def ntriples_line(

@@ -1796,7 +1796,11 @@ WHERE NOT EXISTS (SELECT 1 FROM subjs s WHERE s.uri = o.uri)
 def _oracle_kg_ntriples() -> str:
     """Rebuild every N-Triples line in ANSI SQL from the committed
     fixture (same escape chain as rdfio.escape_literal, backslash
-    first; lang tag wins over datatype, matching rdfio/rdflib)."""
+    first; lang tag wins over datatype, matching rdfio/rdflib).
+    The SQL chain covers the five escapes this corpus can contain;
+    rdfio additionally canonicalizes \\b/\\f and other C0 controls
+    (absent from the synthetic corpus by construction — the fuzz
+    round-trip pytest covers those paths)."""
     esc = (
         "replace(replace(replace(replace(replace(obj,"
         " '\\', '\\\\'), '\"', '\\\"'),"

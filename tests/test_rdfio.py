@@ -132,3 +132,58 @@ def test_serializer_plan_is_jvm_only(spark, nasty_df):
         .toString(),
     ):
         assert "Python" not in plan and "mapInPandas" not in plan
+
+
+def test_control_chars_and_sentinel_killers(spark):
+    """Payloads that break naive sentinel-based unescaping: raw NUL,
+    other C0 controls, literal backslash-u-digits text, and piles of
+    adjacent backslashes."""
+    cases = [
+        "nul \x00 inside",
+        "\x00",
+        "bell \x07 vt \x0b esc \x1b",
+        "backspace \b formfeed \f",
+        "literal \\u0000 six chars",
+        "\\\\u0000",
+        "\\" * 7,
+        "\\" * 8,
+        "a\\",
+        "\\a",
+        "\x00\\\x00",
+        'mix \\ " \n \t \x00 \x01 end',
+    ]
+    rows = [(i, "http://x/p", t, False, None, None) for i, t in enumerate(cases)]
+    df = spark.createDataFrame(
+        [(str(a), b, c, d, e, f) for a, b, c, d, e, f in rows],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    back = parse_ntriples(to_ntriples(df, distinct=False), "line")
+    got = sorted(r["obj"] for r in back.collect())
+    assert got == sorted(cases)
+    # serialized lines contain no raw control characters at all
+    for r in to_ntriples(df, distinct=False).collect():
+        assert not any(ord(ch) < 0x20 for ch in r["line"])
+
+
+def test_fuzz_roundtrip_batched(spark):
+    """500 adversarial random strings (control-heavy alphabet) in
+    ONE Spark round-trip; serialize -> parse must be the identity."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    alphabet = list('\\"\n\r\t\b\f\x00\x01\x1f') + list("au0é統 .<>@^") + ["\\u0000"]
+    cases = [
+        "".join(rng.choice(alphabet, size=rng.randint(0, 24)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), "http://x/p", t, False, None, None)
+         for i, t in enumerate(cases)],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    back = parse_ntriples(to_ntriples(df, distinct=False), "line")
+    got = {r["subj"]: r["obj"] for r in back.collect()}
+    want = {str(i): t for i, t in enumerate(cases)}
+    assert got == want
