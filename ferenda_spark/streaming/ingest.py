@@ -141,3 +141,62 @@ def run_crawl_stats_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_pages_stream(
+    pages: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Exact dedup-on-ingest: keep the FIRST arrival of each
+    (url, content-fingerprint) pair; re-fetches of an unchanged page
+    inside the watermark horizon are dropped before any downstream
+    work (a recrawl stream is mostly unchanged pages — dropping them
+    at the door is the single biggest ingest saving).
+
+    `dropDuplicatesWithinWatermark` keeps one state row per distinct
+    key seen within the horizon and expires it as the watermark
+    passes — bounded state (RocksDB state store at 10^9+ keys),
+    unlike an unwatermarked dropDuplicates whose seen-set grows with
+    the whole crawl forever.  The fingerprint is the same sha2-256
+    content test the batch recrawl detector uses
+    (pipeline.page_fingerprints), so stream and batch agree on what
+    "changed" means.  The batch twin of this operator is
+    dropDuplicates on the same key (catalog `dedup_exact`)."""
+    fp = F.sha2(
+        F.coalesce(
+            F.col("html"),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"),
+        ),
+        256,
+    )
+    return (
+        pages.withColumn("_fp", fp)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["url", "_fp"])
+        .drop("_fp")
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    max_files: int = 64,
+) -> None:
+    """pages stream → dedup-on-ingest → parquet (append); the
+    checkpoint carries the seen-set across runs, so a duplicate
+    arriving in a LATER drop (within the watermark) is still
+    dropped."""
+    out = dedup_pages_stream(stream_pages(spark, pages_dir, max_files), watermark)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()

@@ -101,3 +101,47 @@ def test_crawl_window_stats_watermark_late_data(spark):
         }
         assert (int(base) + 1800, 1) in got2          # finalized once
         assert (int(base), 2) in got2 and (int(base), 3) not in got2  # late row dropped
+
+
+def test_dedup_pages_stream(spark):
+    """Dedup-on-ingest: first arrival of each (url, content) kept,
+    re-fetches dropped — including re-fetches arriving in a LATER
+    drop (seen-set carried by the checkpoint); genuinely-changed
+    content for the same url passes through."""
+    import pandas as pd
+
+    from ferenda_spark.sources.pages import PAGES_SCHEMA
+    from ferenda_spark.streaming.ingest import run_dedup_stream
+
+    def drop(path, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    t = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = (os.path.join(tmp, d) for d in ("src", "out", "ckpt"))
+        drop(src, [
+            ("u1", t, b"<p>a</p>", "a", "en"),
+            ("u1", t + m, b"<p>a</p>", "a", "en"),       # exact re-fetch
+            ("u1", t + 2 * m, b"<p>B</p>", "B", "en"),   # changed content
+            ("u2", t, b"<p>c</p>", "c", "en"),
+        ])
+        run_dedup_stream(spark, src, out, ckpt, watermark="2 hours")
+        got = spark.read.parquet(out)
+        assert got.count() == 3
+        assert got.filter("url = 'u1'").count() == 2
+
+        # later drop: a dup of already-seen u2 + one new url
+        drop(src, [
+            ("u2", t + 3 * m, b"<p>c</p>", "c", "en"),   # dup across drops
+            ("u3", t + 3 * m, b"<p>d</p>", "d", "en"),
+        ])
+        run_dedup_stream(spark, src, out, ckpt, watermark="2 hours")
+        got = spark.read.parquet(out)
+        assert got.count() == 4
+        assert got.filter("url = 'u2'").count() == 1
