@@ -75,21 +75,65 @@ def property_path(
     return out.distinct()
 
 
+def _path_pattern_df(
+    triples: DataFrame, s, p: str, o, max_path_hops: int
+) -> DataFrame:
+    """Compile a path pattern (predicate ending in '+' or '*').
+
+    '+' = 1..max_path_hops, '*' = 0..max_path_hops (SPARQL
+    zero-or-more, bounded).  Ground endpoints filter the pair set —
+    pushed into the hop joins by Catalyst — and for '*' contribute
+    the zero-hop identity solution.  A var-var '*' needs the node
+    set for the identity rows (distinct subjects ∪ URI objects);
+    correct but store-sized, so prefer a ground endpoint where the
+    query allows (the reference's isPartOf* always has one)."""
+    zero = p.endswith("*")
+    pairs = property_path(triples, p[:-1], 1, max_path_hops)
+    if zero:
+        spark_range = triples.sparkSession.range(1)
+        if not _is_var(o):
+            ident = spark_range.select(
+                F.lit(o).alias("src"), F.lit(o).alias("dst")
+            )
+        elif not _is_var(s):
+            ident = spark_range.select(
+                F.lit(s).alias("src"), F.lit(s).alias("dst")
+            )
+        else:
+            nodes = (
+                triples.select(F.col("subj").alias("n"))
+                .union(triples.filter("obj_is_uri").select(F.col("obj").alias("n")))
+                .distinct()
+            )
+            ident = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        pairs = pairs.union(ident).distinct()
+    cols = []
+    if _is_var(s):
+        cols.append(F.col("src").alias(_vname(s)))
+    else:
+        pairs = pairs.filter(F.col("src") == s)
+    if _is_var(o):
+        v = _vname(o)
+        cols += [
+            F.col("dst").alias(v),
+            F.lit(True).alias(f"_isuri_{v}"),
+            F.lit(None).cast("string").alias(f"_lang_{v}"),
+            F.lit(None).cast("string").alias(f"_dt_{v}"),
+        ]
+    else:
+        pairs = pairs.filter(F.col("dst") == o)
+    if not cols:  # fully-ground path: existence gate, one row max
+        return pairs.select(F.lit(True).alias("_ground")).limit(1)
+    return pairs.select(*cols)
+
+
 def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFrame:
     """One triple pattern -> (filtered, renamed) scan.  A predicate
-    string ending in '+' compiles to property_path (bounded
-    transitive closure; subject and object must both be variables —
-    ground endpoints can be expressed with an extra ground join)."""
+    string ending in '+' or '*' compiles to property_path (bounded
+    transitive closure; '*' includes the zero-hop identity)."""
     s, p, o = pattern
-    if isinstance(p, str) and p.endswith("+") and _is_var(s) and _is_var(o):
-        pairs = property_path(triples, p[:-1], 1, max_path_hops)
-        return pairs.select(
-            F.col("src").alias(_vname(s)),
-            F.col("dst").alias(_vname(o)),
-            F.lit(True).alias(f"_isuri_{_vname(o)}"),
-            F.lit(None).cast("string").alias(f"_lang_{_vname(o)}"),
-            F.lit(None).cast("string").alias(f"_dt_{_vname(o)}"),
-        )
+    if isinstance(p, str) and (p.endswith("+") or p.endswith("*")):
+        return _path_pattern_df(triples, s, p, o, max_path_hops)
     df = triples
     cols = []
     if _is_var(s):
@@ -109,8 +153,8 @@ def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFram
             cols.append(F.col("datatype").alias(f"_dt_{v}"))
     else:
         df = df.filter(F.col("obj") == o)
-    if not cols:  # fully-ground pattern: existence check
-        cols = [F.lit(True).alias("_ground")]
+    if not cols:  # fully-ground pattern: existence gate, one row max
+        return df.select(F.lit(True).alias("_ground")).limit(1)
     return df.select(*cols)
 
 
@@ -127,6 +171,8 @@ def _join(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
         f"{m}{v}" for v in shared for m in _META
         if f"{m}{v}" in left.columns and f"{m}{v}" in right.columns
     ]
+    if "_ground" in left.columns and "_ground" in right.columns:
+        drop.append("_ground")
     right = right.drop(*drop)
     if not shared:
         return left.crossJoin(right) if how == "inner" else left

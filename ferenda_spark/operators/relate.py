@@ -118,4 +118,13 @@ def annotations(triples: DataFrame, max_depth: int = 3) -> DataFrame:
         .join(member, triples["obj"] == member["part"], "inner")
         .select(F.col("root").alias("doc_uri"), "subj", "pred", "obj")
     )
-    return own.union(inbound).distinct()
+    # the reference's annotations.rq pulls the FULL description of
+    # each citing resource (its WHERE binds ?s ?p ?o for branch-2
+    # solutions, res/sparql/annotations.rq) — not just the citation
+    # edge; test_sparql.py asserts this operator == that verbatim
+    # query, which is how this under-inclusion was caught
+    citers = inbound.select("doc_uri", F.col("subj").alias("citer")).distinct()
+    citing_desc = triples.join(
+        citers, triples["subj"] == citers["citer"], "inner"
+    ).select("doc_uri", "subj", "pred", "obj")
+    return own.union(inbound).union(citing_desc).distinct()

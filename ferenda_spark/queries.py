@@ -2013,9 +2013,13 @@ member AS (SELECT DISTINCT part, root
 own AS (SELECT m.root AS doc_uri, t.subj, t.pred, t.obj
         FROM t JOIN member m ON t.subj = m.part),
 inb AS (SELECT m.root AS doc_uri, t.subj, t.pred, t.obj
-        FROM t JOIN member m ON t.obj = m.part WHERE t.pred = '{refp}')
+        FROM t JOIN member m ON t.obj = m.part WHERE t.pred = '{refp}'),
+citers AS (SELECT DISTINCT doc_uri, subj AS citer FROM inb),
+citing_desc AS (SELECT c.doc_uri, t.subj, t.pred, t.obj
+                FROM t JOIN citers c ON t.subj = c.citer)
 SELECT DISTINCT doc_uri, subj, pred, obj
-FROM (SELECT * FROM own UNION ALL SELECT * FROM inb)
+FROM (SELECT * FROM own UNION ALL SELECT * FROM inb
+      UNION ALL SELECT * FROM citing_desc)
 """
 
 
