@@ -14,9 +14,10 @@
 # inter-executor shuffle/broadcast over the network stack, and
 # per-executor Python workers.  Each worker JVM is pinned to exactly
 # one CPU (its executor and that executor's Python workers inherit
-# the affinity), and each side's master + driver are pinned inside
-# the same side's CPU range, so "cluster size N" is physically N
-# cores end to end.
+# the affinity), so "cluster size N" is physically N executor cores;
+# both sides' masters and drivers share one SERVICE CPU range
+# outside the counted executor ranges (a real cluster's driver is
+# not an executor core — see the comment at the range math).
 #
 # Usage: cluster_sync.sh [PAIRS]        (default 2)
 #   env: CLUSTER_N1=2 CLUSTER_N2=8 BENCH_KG_DOCS=100000
@@ -40,18 +41,28 @@ rm -f build/engine.zip
 
 # Disjoint CPU ranges at the top (cpu0 takes interrupts; unpinned
 # external load tends to land low) — wide gets the very top.
+# Below the two EXECUTOR ranges sits a shared SERVICE range where
+# both sides' master JVMs and spark-submit drivers run: on a real
+# cluster the driver/master are not executor cores, and pinning
+# them inside the counted range taxes the narrow side
+# disproportionately (driver+master overhead / N is 4x larger at
+# N1), which manufactures superlinear "scaling".  Sharing ONE
+# service range keeps that overhead equal by construction.
 hi=$(( $(nproc) - 1 ))
 wide_lo=$(( hi - N2 + 1 ))
 narrow_hi=$(( wide_lo - 1 ))
 narrow_lo=$(( narrow_hi - N1 + 1 ))
+svc_hi=$(( narrow_lo - 1 ))
+svc_lo=$(( svc_hi - ${CLUSTER_SVC_CPUS:-4} + 1 ))
+SVC="${svc_lo}-${svc_hi}"
 
 PIDS=()
 cleanup() { kill -9 "${PIDS[@]}" 2>/dev/null || true; }
 trap cleanup EXIT
 
-start_cluster() { # $1=port $2=lo $3=hi $4=tag  -> masters/workers pinned
+start_cluster() { # $1=port $2=lo $3=hi $4=tag  -> master on SVC, workers pinned
   local port="$1" lo="$2" chi="$3" tag="$4"
-  taskset -c "${lo}-${chi}" "$SPARK_HOME/bin/spark-class" \
+  taskset -c "$SVC" "$SPARK_HOME/bin/spark-class" \
     org.apache.spark.deploy.master.Master -h 127.0.0.1 -p "$port" \
     --webui-port $(( port + 1000 )) > "BENCH/cluster_${tag}_master.log" 2>&1 &
   PIDS+=($!)
@@ -68,13 +79,13 @@ start_cluster() { # $1=port $2=lo $3=hi $4=tag  -> masters/workers pinned
   sleep 6
 }
 
-run_side() { # $1=port $2=n_exec $3=cpuset $4=pair $5=in-jvm reps $6=tag
+run_side() { # $1=port $2=n_exec $3=UNUSED $4=pair $5=in-jvm reps $6=tag
   local t0 t1
   t0=$(date +%s.%N)
   BENCH_MASTER="spark://127.0.0.1:$1" SPARK_SHUFFLE_PARTITIONS="$2" \
   BENCH_KG_DOCS="$DOCS" SPARK_GRAFT_SF_DIR="$SF_DIR" \
   BENCH_KG_ONLY=1 BENCH_KG_REPS="$5" \
-  taskset -c "$3" "$SPARK_HOME/bin/spark-submit" \
+  taskset -c "$SVC" "$SPARK_HOME/bin/spark-submit" \
     --master "spark://127.0.0.1:$1" --driver-memory 12g \
     --conf spark.executor.memory="$EXEC_MEM" \
     --conf spark.executor.cores=1 \
@@ -103,6 +114,7 @@ if [ ! -f "build/bench_pages_${DOCS}/_SUCCESS" ]; then
     >/dev/null 2>&1 || true
 fi
 
+echo "service (masters+drivers): cpus ${SVC}" >&2
 echo "narrow: ${N1} exec @cpus ${narrow_lo}-${narrow_hi} (port 7077)" >&2
 echo "wide:   ${N2} exec @cpus ${wide_lo}-${hi} (port 7087)" >&2
 start_cluster 7077 "$narrow_lo" "$narrow_hi" narrow

@@ -262,6 +262,47 @@ read them as "no measurable coordination loss at 4×". Raw JSON:
 except FileNotFoundError:
     pass
 
+cluster_md = ""
+try:
+    cl = json.load(open("BENCH/cluster_sync.json"))
+    crows = "\n".join(
+        f"| {p} | {v['tps_narrow']} | {v['tps_wide']} "
+        f"| {v.get('steady_efficiency', v['efficiency'])} "
+        f"| {v['overlap_frac']} |"
+        for p, v in cl["pairs"].items()
+    )
+    cn1, cn2 = cl["executors"]["narrow"], cl["executors"]["wide"]
+    cluster_md = f"""
+## REAL multi-executor clusters — N vs 4N executors (spark-submit)
+
+`tools/cluster_sync.sh`: the north rule's cluster criterion run
+literally — two independent Spark STANDALONE clusters ({cn1} and
+{cn2} single-core executor JVMs; each cluster = its own master JVM +
+one pinned 1-core worker JVM per executor + a
+`spark-submit --py-files build/engine.zip` driver), both clusters
+running the identical KG build ({cl['kg_docs']} docs)
+SIMULTANEOUSLY on disjoint pinned CPU sets. This exercises the full
+deployment surface `local[N]` cannot: cluster-manager registration,
+code shipping, inter-executor shuffle/broadcast, per-executor Python
+workers. Masters and drivers for BOTH sides share one service CPU
+range outside the counted executor CPUs (a real cluster's driver is
+not an executor core; pinning it inside the counted range taxes the
+narrow side 4× harder and manufactures superlinear "scaling" — the
+archived BENCH/archive_cluster_* runs show exactly that artifact).
+Efficiency below is steady-state: best of each side's LAST HALF of
+warm in-JVM builds, a symmetric-in-fraction JIT exclusion.
+
+| pair | narrow t/s ({cn1} exec) | wide t/s ({cn2} exec) | steady eff | overlap |
+|---|---|---|---|---|
+{crows}
+
+**Cluster-mode scaling efficiency (median): {cl['scaling_efficiency']}**
+(target ≥ 0.8 → {"PASS" if cl["pass"] else "FAIL"}). Raw JSON:
+`BENCH/cluster_sync.json`, `BENCH/cluster_{{narrow,wide}}_p*.json`.
+"""
+except FileNotFoundError:
+    pass
+
 md = f"""# BENCH — measured results
 
 Protocol: BASELINE.md §3 — identical job (`spark-submit --master
@@ -293,7 +334,7 @@ far more often than wide ones, the raw cross-window best-of ratio
 below under-reports the job — the same-window simultaneous
 measurement above it and the paired-window decomposition that
 follows separate the two effects.
-{sync_md}
+{sync_md}{cluster_md}
 ## Sequential interleaved protocol — KG construction throughput (pages → materialized triples)
 
 | master | docs/sec | triples/sec | all reps (triples/sec) |
