@@ -1659,6 +1659,36 @@ def q_kg_paths(spark, sf_dir):
     )
 
 
+def q_kg_sparql(spark, sf_dir):
+    """SPARQL TEXT front-end end-to-end (operators/sparql.py): a
+    UNION + FILTER query parsed from source text and compiled onto
+    the BGP engine — the structural-edge slice of the KG (citations
+    ∪ containment), subjects restricted to section fragments."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?s ?o WHERE {
+          { ?s dcterms:references ?o . }
+          UNION
+          { ?s dcterms:isPartOf ?o . }
+          FILTER (?s != ?o)
+        }
+        """,
+    )
+
+
+ORACLE_KG_SPARQL_TMPL = """
+SELECT DISTINCT subj AS s, obj AS o
+FROM {t}
+WHERE pred IN ('http://purl.org/dc/terms/references',
+               'http://purl.org/dc/terms/isPartOf')
+  AND subj != obj
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2343,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "kg_bgp": q_kg_bgp,
         "kg_paths": q_kg_paths,
+        "kg_sparql": q_kg_sparql,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2411,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples": _oracle_kg_ntriples(),
         "kg_bgp": _oracle_kg_bgp(),
         "kg_paths": _oracle_kg_paths(),
+        "kg_sparql": ORACLE_KG_SPARQL_TMPL.format(t=_kg_t("triples")),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),
