@@ -31,6 +31,8 @@ selective-scan + join-reorder, no Python anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -75,20 +77,45 @@ def property_path(
     return out.distinct()
 
 
-def _path_pattern_df(
-    triples: DataFrame, s, p: str, o, max_path_hops: int
-) -> DataFrame:
-    """Compile a path pattern (predicate ending in '+' or '*').
+#: path-quantifier suffix on a predicate string: pred{m,n} / pred{n}
+#: (the reference's prop-annotations.rq uses isPartOf{,1})
+_QUANT_RE = re.compile(r"\{(\d*)(,)?(\d*)\}$")
 
-    '+' = 1..max_path_hops, '*' = 0..max_path_hops (SPARQL
-    zero-or-more, bounded).  Ground endpoints filter the pair set —
-    pushed into the hop joins by Catalyst — and for '*' contribute
-    the zero-hop identity solution.  A var-var '*' needs the node
-    set for the identity rows (distinct subjects ∪ URI objects);
-    correct but store-sized, so prefer a ground endpoint where the
-    query allows (the reference's isPartOf* always has one)."""
-    zero = p.endswith("*")
-    pairs = property_path(triples, p[:-1], 1, max_path_hops)
+
+def _path_bounds(p: str, max_path_hops: int):
+    """Split a path-predicate string into (base_pred, min_hops,
+    max_hops), or return None if `p` carries no path modifier.
+    '*' = 0..max, '+' = 1..max, '{m,n}' = m..n (empty m -> 0, empty
+    n -> max_path_hops), '{n}' = exactly n."""
+    if p.endswith("*"):
+        return p[:-1], 0, max_path_hops
+    if p.endswith("+"):
+        return p[:-1], 1, max_path_hops
+    m = _QUANT_RE.search(p)
+    if not m:
+        return None
+    lo_s, comma, hi_s = m.groups()
+    lo = int(lo_s) if lo_s else 0
+    hi = int(hi_s) if hi_s else (max_path_hops if comma else lo)
+    if hi < 1 or hi < lo:
+        raise ValueError(f"unsupported path quantifier in {p!r}")
+    return p[: m.start()], lo, hi
+
+
+def _path_pattern_df(
+    triples: DataFrame, s, base: str, o, min_hops: int, max_hops: int
+) -> DataFrame:
+    """Compile a path pattern (pred+ / pred* / pred{m,n}, bounded).
+
+    min_hops=0 is SPARQL zero-or-more: ground endpoints filter the
+    pair set — pushed into the hop joins by Catalyst — and
+    contribute the zero-hop identity solution.  A var-var zero-hop
+    needs the node set for the identity rows (distinct subjects ∪
+    URI objects); correct but store-sized, so prefer a ground
+    endpoint where the query allows (the reference's isPartOf*
+    always has one)."""
+    zero = min_hops == 0
+    pairs = property_path(triples, base, max(min_hops, 1), max_hops)
     if zero:
         spark_range = triples.sparkSession.range(1)
         if not _is_var(o):
@@ -129,11 +156,15 @@ def _path_pattern_df(
 
 def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFrame:
     """One triple pattern -> (filtered, renamed) scan.  A predicate
-    string ending in '+' or '*' compiles to property_path (bounded
-    transitive closure; '*' includes the zero-hop identity)."""
+    string ending in '+', '*' or '{m,n}' compiles to property_path
+    (bounded transitive closure; a zero lower bound includes the
+    zero-hop identity)."""
     s, p, o = pattern
-    if isinstance(p, str) and (p.endswith("+") or p.endswith("*")):
-        return _path_pattern_df(triples, s, p, o, max_path_hops)
+    if isinstance(p, str) and not _is_var(p):
+        bounds = _path_bounds(p, max_path_hops)
+        if bounds is not None:
+            base, lo, hi = bounds
+            return _path_pattern_df(triples, s, base, o, lo, hi)
     df = triples
     cols = []
     if _is_var(s):

@@ -8,10 +8,23 @@ parses the subset those templates use and compiles it onto
 graphquery's distributed BGP engine, so the VERBATIM reference
 query text runs against the Spark triples table:
 
-  PREFIX declarations · SELECT ?v ... / CONSTRUCT { template }
-  · basic graph patterns ('a' = rdf:type) · OPTIONAL { ... }
-  · { ... } UNION { ... } chains · FILTER (simple comparisons)
-  · property paths pred+ / pred* (bounded; see graphquery)
+  PREFIX declarations · SELECT [DISTINCT] ?v ... / CONSTRUCT
+  { template } · basic graph patterns ('a' = rdf:type) · OPTIONAL
+  { ... } · { ... } UNION { ... } chains · GRAPH <g> { ... } ·
+  BIND(?a AS ?b) · FILTER with comparisons, && || !, ?x IN (...),
+  STR(), STRSTARTS(), isUri()/isIRI() · property paths pred+ /
+  pred* / pred{m,n} (bounded; see graphquery)
+
+This is the COMPLETE construct inventory of the reference's shipped
+query corpus (every .rq under /root/reference — annotations.rq,
+rfc-annotations.rq, describe-base/with-subdocs.rq, sfs_*.rq,
+keyword_*.rq, dv/avg/prop-annotations.rq) — each of those files
+parses and runs verbatim here (tests/test_sparql.py runs the whole
+corpus).  GRAPH <g> scopes matching to rows whose `graph` column
+equals g when the triples table has one, and is a no-op on a
+single-graph table (the reference's GRAPH blocks select a
+triplestore context, storage addressing rather than query logic —
+ferenda/triplestore.py).
 
 Parsing happens once on the driver (microseconds, plain strings);
 everything data-sized stays in the compiled DataFrame plan.  Not a
@@ -40,7 +53,8 @@ _TOKEN_RE = re.compile(
     | \?[A-Za-z_]\w*                            # variable
     | [A-Za-z_][\w-]*:[\w.-]*[*+]?              # prefixed name (+path mod)
     | [A-Za-z]+                                 # bare keyword / 'a'
-    | [{}().;]                                  # punctuation
+    | \d+(?:\.\d+)?                             # number
+    | [{}().;,]                                 # punctuation
     | [*+]                                      # standalone path modifier
     | [!<>=&|]+                                 # filter operators
     """,
@@ -81,10 +95,27 @@ def _resolve(term: str, prefixes: dict[str, str]) -> str:
     raise SparqlSyntaxError(f"cannot parse term {term!r}")
 
 
+def _empty_group() -> dict:
+    return {
+        "patterns": [],
+        "optionals": [],
+        "filters": [],
+        "unions": [],
+        "binds": [],
+        "graphs": [],
+    }
+
+
+def _inline(into: dict, sub: dict) -> None:
+    for k in into:
+        into[k] += sub[k]
+
+
 def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
     """Parse tokens of one { } group starting AFTER its '{'.
-    Returns ({patterns, optionals, filters, unions}, next_index)."""
-    g = {"patterns": [], "optionals": [], "filters": [], "unions": []}
+    Returns ({patterns, optionals, filters, unions, binds, graphs},
+    next_index)."""
+    g = _empty_group()
     while i < len(toks):
         t = toks[i]
         if t == "}":
@@ -103,10 +134,7 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
                 alts.append(sub)
             if len(alts) < 2:
                 # a bare nested group is just inlined
-                g["patterns"] += alts[0]["patterns"]
-                g["optionals"] += alts[0]["optionals"]
-                g["filters"] += alts[0]["filters"]
-                g["unions"] += alts[0]["unions"]
+                _inline(g, alts[0])
             else:
                 g["unions"].append(alts)
             continue
@@ -114,18 +142,48 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             if toks[i + 1] != "{":
                 raise SparqlSyntaxError("OPTIONAL must be followed by '{'")
             sub, i = _parse_group(toks, i + 2, prefixes)
-            if sub["optionals"] or sub["unions"] or sub["filters"]:
+            if any(sub[k] for k in sub if k != "patterns"):
                 raise SparqlSyntaxError("nested OPTIONAL bodies unsupported")
             g["optionals"].append(sub["patterns"])
+            continue
+        if t.upper() == "GRAPH":
+            # GRAPH <g> { ... }: the reference uses this to address a
+            # triplestore context; we scope to the `graph` column
+            gterm = _resolve(toks[i + 1], prefixes)
+            if toks[i + 2] != "{":
+                raise SparqlSyntaxError("GRAPH <g> must be followed by '{'")
+            sub, i = _parse_group(toks, i + 3, prefixes)
+            g["graphs"].append((gterm, sub))
+            continue
+        if t.upper() == "BIND":
+            # the corpus' only BIND form: BIND(?src AS ?dst)
+            ok = (
+                i + 5 < len(toks)
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3].upper() == "AS"
+                and toks[i + 4].startswith("?")
+                and toks[i + 5] == ")"
+            )
+            if not ok:
+                raise SparqlSyntaxError("only BIND(?var AS ?var) supported")
+            g["binds"].append((toks[i + 2][1:], toks[i + 4][1:]))
+            i += 6
             continue
         if t.upper() == "FILTER":
             if toks[i + 1] != "(":
                 raise SparqlSyntaxError("FILTER must be followed by '('")
-            j = toks.index(")", i + 2)
-            if "(" in toks[i + 2 : j]:
-                raise SparqlSyntaxError("nested FILTER parens unsupported")
-            g["filters"].append(_filter_sql(toks[i + 2 : j], prefixes))
-            i = j + 1
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlSyntaxError("unbalanced FILTER parens")
+            g["filters"].append(_filter_sql(toks[i + 2 : j - 1], prefixes))
+            i = j
             continue
         # triple pattern: s p o (. | ; p o ...)
         s = _resolve(t, prefixes)
@@ -136,6 +194,16 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             if i < len(toks) and toks[i] in ("*", "+"):
                 p += toks[i]
                 i += 1
+            elif i < len(toks) and toks[i] == "{":
+                # path quantifier pred{m,n} / pred{,n} / pred{n}
+                j = toks.index("}", i)
+                spec = "".join(toks[i + 1 : j])
+                if not re.fullmatch(r"\d*,\d*|\d+", spec):
+                    raise SparqlSyntaxError(
+                        f"bad path quantifier {{{spec}}}"
+                    )
+                p += "{" + spec + "}"
+                i = j + 1
             o = _resolve(toks[i], prefixes)
             g["patterns"].append((s, p, o))
             i += 1
@@ -151,11 +219,40 @@ _FILTER_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "="}
 
 def _filter_sql(toks: list[str], prefixes: dict) -> str:
     """FILTER tokens -> Spark SQL boolean expression over variable
-    columns.  Simple comparisons/boolean combinations only."""
+    columns.  Covers the corpus' full function set: comparisons,
+    && || !, ?x IN (...), STR(?x) (identity — terms are already
+    strings), STRSTARTS -> startswith, isUri/isIRI -> the term's
+    captured `_isuri_` metadata column (the compiler defaults it to
+    TRUE for variables bound only in subject/predicate position,
+    which are IRIs by RDF construction)."""
     out = []
-    for t in toks:
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        u = t.upper()
         if t.startswith("?"):
             out.append(t[1:])
+        elif u == "STR":
+            # STR(?x): engine terms are plain strings; drop the call,
+            # the following parens survive as grouping
+            pass
+        elif u == "STRSTARTS":
+            out.append("startswith")
+        elif u in ("ISURI", "ISIRI"):
+            if not (
+                i + 3 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ")"
+            ):
+                raise SparqlSyntaxError("isUri() takes one variable")
+            out.append(f"coalesce(_isuri_{toks[i + 2][1:]}, false)")
+            i += 4
+            continue
+        elif u == "IN":
+            out.append("IN")
+        elif t in ("(", ")", ","):
+            out.append(t)
         elif t in _FILTER_OPS:
             out.append(_FILTER_OPS[t])
         elif re.fullmatch(r"[<>]=?|!=", t):
@@ -166,8 +263,11 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             out.append("'" + t[1:-1] + "'")
         elif re.fullmatch(r"\d+(\.\d+)?", t):
             out.append(t)
+        elif ":" in t:  # prefixed IRI used as a comparison constant
+            out.append("'" + _resolve(t, prefixes).replace("'", "''") + "'")
         else:
             raise SparqlSyntaxError(f"unsupported FILTER token {t!r}")
+        i += 1
     return " ".join(out)
 
 
@@ -193,6 +293,8 @@ def parse_sparql(text: str, params: dict | None = None) -> dict:
     i += 1
     out: dict = {"form": form, "select_vars": [], "template": []}
     if form == "SELECT":
+        if toks[i].upper() == "DISTINCT":
+            i += 1  # solutions are projected with set semantics anyway
         while toks[i].startswith("?") or toks[i] == "*":
             if toks[i] != "*":
                 out["select_vars"].append(toks[i][1:])
@@ -201,7 +303,7 @@ def parse_sparql(text: str, params: dict | None = None) -> dict:
         if toks[i] != "{":
             raise SparqlSyntaxError("CONSTRUCT needs '{ template }'")
         tmpl, i = _parse_group(toks, i + 1, prefixes)
-        if tmpl["optionals"] or tmpl["unions"] or tmpl["filters"]:
+        if any(tmpl[k] for k in tmpl if k != "patterns"):
             raise SparqlSyntaxError("CONSTRUCT template must be plain triples")
         out["template"] = tmpl["patterns"]
     else:
@@ -215,12 +317,26 @@ def parse_sparql(text: str, params: dict | None = None) -> dict:
 def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame:
     """Group graph pattern -> solutions DataFrame (with term-metadata
     companion columns, for CONSTRUCT)."""
+    from pyspark.sql import functions as F
+
     df = None
     if g["patterns"]:
         ordered = _order_patterns(g["patterns"])
         df = _pattern_df(triples, ordered[0], max_path_hops)
         for pat in ordered[1:]:
             df = _join(df, _pattern_df(triples, pat, max_path_hops))
+    for gterm, sub in g["graphs"]:
+        # GRAPH <g> { ... }: scope the store to that graph's rows when
+        # the table is multi-graph; a single-graph table IS the
+        # default graph, so scoping is the identity (matching the
+        # reference's use of GRAPH purely as context addressing)
+        scoped = (
+            triples.filter(F.col("graph") == gterm)
+            if "graph" in triples.columns
+            else triples
+        )
+        sdf = _compile_group(scoped, sub, max_path_hops)
+        df = sdf if df is None else _join(df, sdf)
     for alts in g["unions"]:
         parts = [_compile_group(triples, a, max_path_hops) for a in alts]
         u = parts[0]
@@ -235,9 +351,18 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
         df = gdf if df is None else _join(df, gdf, "left")
     if df is None:
         raise SparqlSyntaxError("empty WHERE group")
-    from pyspark.sql import functions as F
-
+    for src, dst in g["binds"]:
+        df = df.withColumn(dst, F.col(src))
+        for m in ("_isuri_", "_lang_", "_dt_"):
+            if f"{m}{src}" in df.columns:
+                df = df.withColumn(f"{m}{dst}", F.col(f"{m}{src}"))
     for f in g["filters"]:
+        # isUri(?v) on a variable bound only in subject/predicate
+        # position: those are IRIs by RDF construction, so default
+        # the missing metadata column to TRUE
+        for v in re.findall(r"_isuri_(\w+)", f):
+            if f"_isuri_{v}" not in df.columns:
+                df = df.withColumn(f"_isuri_{v}", F.lit(True))
         df = df.filter(F.expr(f))
     return df
 
@@ -272,10 +397,13 @@ def run_sparql(
 
         if o.startswith("?"):
             v = o[1:]
+            # no metadata column => the variable was bound only in
+            # subject/predicate position, which is an IRI by RDF
+            # construction (rfc-annotations.rq's ?obsoleter/?updater)
             isuri = (
                 F.coalesce(F.col(f"_isuri_{v}"), F.lit(False))
                 if f"_isuri_{v}" in sols.columns
-                else F.lit(False)
+                else F.lit(True)
             )
             lang = (
                 F.col(f"_lang_{v}")

@@ -1,6 +1,7 @@
 """SPARQL text front-end (operators/sparql.py): the reference's own
 query files run verbatim on the distributed BGP engine."""
 
+import glob
 import os
 
 import pytest
@@ -187,3 +188,209 @@ def test_annotations_rq_matches_native_operator(spark):
     }
     assert back == refs
     assert len(rq_rows) > 5
+
+# ---------------------------------------------------------------
+# The COMPLETE reference .rq corpus, verbatim
+# ---------------------------------------------------------------
+
+#: every SPARQL file the reference ships (ferenda/res/sparql,
+#: sources/*/res/sparql, lagen/nu/res/sparql, doc/examples)
+_CORPUS = sorted(glob.glob("/root/reference/**/*.rq", recursive=True))
+
+#: the corpus' full template-parameter inventory (%(uri)s etc.)
+_PARAMS = {
+    "uri": "http://ex.org/doc/1",
+    "context": "http://ex.org/ctx",
+    "tempuri": "http://ex.org/temp/1",
+}
+
+
+@pytest.mark.skipif(not _CORPUS, reason="reference tree not present")
+@pytest.mark.parametrize(
+    "path", _CORPUS, ids=[os.path.basename(p) for p in _CORPUS]
+)
+def test_reference_corpus_parses(path):
+    """Every .rq file the reference ships parses verbatim — the
+    front-end covers the corpus' complete construct inventory
+    (DISTINCT, GRAPH, BIND, IN/STRSTARTS/STR/isUri filters,
+    isPartOf{,1} quantifiers, paths, UNION chains, OPTIONALs)."""
+    with open(path) as f:
+        q = parse_sparql(f.read(), params=_PARAMS)
+    assert q["form"] in ("SELECT", "CONSTRUCT")
+    w = q["where"]
+    assert (
+        w["patterns"] or w["unions"] or w["graphs"]
+    ), f"{path}: parsed to an empty WHERE"
+
+
+RFC = "http://example.org/ontology/rfc/"
+DCT = "http://purl.org/dc/terms/"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rfc_annotations_rq_verbatim(spark):
+    """/root/reference/ferenda/sources/tech/res/sparql/
+    rfc-annotations.rq executed verbatim: 5-way UNION with
+    BIND(?s as ?referencer), !isUri(?o), ?x IN (...), and
+    STRSTARTS(STR(?o), ...) filters."""
+    path = "/root/reference/ferenda/sources/tech/res/sparql/rfc-annotations.rq"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    uri = "http://ex.org/rfc/10"
+    rows_in = [
+        # branch 1: literal metadata of the doc itself; the URI-valued
+        # triple must be dropped by !isUri(?o)
+        (uri, DCT + "title", "Ten", False, "en", None),
+        (uri, RDF + "seeAlso", "http://ex.org/rfc/9", True, None, None),
+        # branch 2: a resource citing the doc (kept), with one
+        # unrelated dcterms:references that the filter must drop
+        ("http://ex.org/r1", DCT + "references", uri, True, None, None),
+        ("http://ex.org/r1", DCT + "identifier", "R1", False, None, None),
+        ("http://ex.org/r1", DCT + "references",
+         "http://other/doc", True, None, None),
+        # branch 3+5: an updater, with its own metadata
+        ("http://ex.org/u1", RFC + "updates", uri, True, None, None),
+        ("http://ex.org/u1", DCT + "identifier", "U1", False, None, None),
+        # branch 4: an obsoleter
+        ("http://ex.org/o1", RFC + "obsoletes", uri, True, None, None),
+    ]
+    g2 = spark.createDataFrame(rows_in, SCHEMA)
+    with open(path) as f:
+        out = run_sparql(g2, f.read(), params={"uri": uri})
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    # branch 1: literal metadata survives, URI-valued object does not
+    assert (uri, DCT + "title", "Ten") in rows
+    assert (uri, RDF + "seeAlso", "http://ex.org/rfc/9") not in rows
+    # branch 2 + BIND: citing resource emitted, back-link minted,
+    # unrelated reference filtered
+    assert (uri, DCT + "isReferencedBy", "http://ex.org/r1") in rows
+    assert ("http://ex.org/r1", DCT + "identifier", "R1") in rows
+    assert ("http://ex.org/r1", DCT + "references", uri) in rows
+    assert ("http://ex.org/r1", DCT + "references", "http://other/doc") not in rows
+    # branches 3/4/5: updater/obsoleter links + updater metadata
+    assert (uri, RFC + "isUpdatedBy", "http://ex.org/u1") in rows
+    assert (uri, RFC + "isObsoletedBy", "http://ex.org/o1") in rows
+    assert ("http://ex.org/u1", DCT + "identifier", "U1") in rows
+    # minted link objects are URIs (subject-position metadata default)
+    link = {
+        (r["pred"], r["obj_is_uri"])
+        for r in out.collect()
+        if r["pred"] in (RFC + "isUpdatedBy", RFC + "isObsoletedBy")
+    }
+    assert link == {(RFC + "isUpdatedBy", True), (RFC + "isObsoletedBy", True)}
+
+
+def test_graph_scoping_keyword_sfs_verbatim(spark):
+    """keyword_sfs.rq verbatim: GRAPH <%(context)s> scopes matching
+    to that graph's rows when the table has a `graph` column, and is
+    the identity on a single-graph table."""
+    path = "/root/reference/lagen/nu/res/sparql/keyword_sfs.rq"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    kw, ctx = "http://ex.org/kw/tax", "http://ex.org/ctx"
+    base = [
+        # in-context: section s1 tagged with the keyword, part of base
+        ("http://ex.org/s1", DCT + "subject", kw, True, None, None),
+        ("http://ex.org/s1", DCT + "isPartOf", "http://ex.org/base", True, None, None),
+        ("http://ex.org/base", DCT + "title", "Base law", False, "sv", None),
+        # decoy in another graph: same shape, must be invisible
+        ("http://ex.org/s2", DCT + "subject", kw, True, None, None),
+        ("http://ex.org/s2", DCT + "isPartOf", "http://ex.org/other", True, None, None),
+        ("http://ex.org/other", DCT + "title", "Other law", False, "sv", None),
+    ]
+    graphs = [ctx] * 3 + ["http://ex.org/elsewhere"] * 3
+    g3 = spark.createDataFrame(
+        [r + (gr,) for r, gr in zip(base, graphs)], SCHEMA + ", graph string"
+    )
+    with open(path) as f:
+        text = f.read()
+    got = {
+        tuple(r)
+        for r in run_sparql(
+            g3, text, params={"uri": kw, "context": ctx}
+        ).collect()
+    }
+    assert got == {
+        ("http://ex.org/s1", "http://ex.org/base", "Base law")
+    }
+    # single-graph table (no `graph` column): GRAPH is the identity
+    g4 = spark.createDataFrame(base, SCHEMA)
+    got4 = {
+        r["baseuri"]
+        for r in run_sparql(
+            g4, text, params={"uri": kw, "context": ctx}
+        ).collect()
+    }
+    assert got4 == {"http://ex.org/base", "http://ex.org/other"}
+
+
+def test_sfs_changes_rq_verbatim(spark):
+    """sfs_changes.rq verbatim: SELECT DISTINCT, variable predicate,
+    ?changetype IN (...), STRSTARTS, three OPTIONALs."""
+    path = (
+        "/root/reference/ferenda/sources/legal/se/res/sparql/sfs_changes.rq"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    RP = "http://rinfo.lagrummet.se/ns/2008/11/rinfo/publ#"
+    uri = "http://ex.org/sfs/1999:175"
+    rows_in = [
+        ("http://ex.org/chg1", RP + "ersatter", uri + "#p1", True, None, None),
+        ("http://ex.org/chg1", DCT + "identifier", "SFS 1", False, None, None),
+        ("http://ex.org/chg1", RP + "forarbete", "http://ex.org/prop1", True, None, None),
+        ("http://ex.org/prop1", RDF + "type", RP + "Proposition", True, None, None),
+        ("http://ex.org/prop1", DCT + "identifier", "Prop. 1", False, None, None),
+        # decoy: a changetype outside the IN list
+        ("http://ex.org/chg2", RP + "andrar", uri + "#p2", True, None, None),
+        ("http://ex.org/chg2", DCT + "identifier", "SFS 2", False, None, None),
+        ("http://ex.org/chg2", RP + "forarbete", "http://ex.org/prop1", True, None, None),
+    ]
+    g2 = spark.createDataFrame(rows_in, SCHEMA)
+    with open(path) as f:
+        got = run_sparql(g2, f.read(), params={"uri": uri}).collect()
+    assert [tuple(r) for r in got] == [
+        (
+            "http://ex.org/chg1",
+            RP + "ersatter",
+            "SFS 1",
+            uri + "#p1",
+            None,          # OPTIONAL ikraft unbound
+            "http://ex.org/prop1",
+            "Prop. 1",
+            None,          # OPTIONAL proptitle unbound
+        )
+    ]
+
+
+def test_prop_annotations_rq_verbatim(spark):
+    """prop-annotations.rq verbatim: isPartOf{,1} bounded quantifier
+    + STRSTARTS(STR(?a), STR(?b)) with two variable arguments."""
+    path = (
+        "/root/reference/ferenda/sources/legal/se/res/sparql/"
+        "prop-annotations.rq"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    uri = "http://ex.org/doc/1"
+    rows_in = [
+        # a section of the doc (1 hop) cited by ref1's chapter
+        (uri + "#s1", DCT + "isPartOf", uri, True, None, None),
+        ("http://ex.org/ref1#c1", DCT + "references", uri + "#s1", True, None, None),
+        ("http://ex.org/ref1#c1", DCT + "isPartOf", "http://ex.org/ref1", True, None, None),
+        ("http://ex.org/ref1", DCT + "title", "Ref doc", False, None, None),
+        # a 2-hop descendant cited by ref2: OUTSIDE isPartOf{,1}
+        (uri + "#s1#sub", DCT + "isPartOf", uri + "#s1", True, None, None),
+        ("http://ex.org/ref2", DCT + "references", uri + "#s1#sub", True, None, None),
+    ]
+    g2 = spark.createDataFrame(rows_in, SCHEMA)
+    with open(path) as f:
+        out = run_sparql(g2, f.read(), params={"uri": uri})
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert (uri + "#s1", DCT + "isReferencedBy", "http://ex.org/ref1#c1") in rows
+    assert ("http://ex.org/ref1", DCT + "title", "Ref doc") in rows
+    # the 2-hop part is beyond the {,1} bound: no back-link for ref2
+    assert (
+        uri + "#s1#sub",
+        DCT + "isReferencedBy",
+        "http://ex.org/ref2",
+    ) not in rows
