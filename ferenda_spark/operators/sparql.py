@@ -8,12 +8,13 @@ parses the subset those templates use and compiles it onto
 graphquery's distributed BGP engine, so the VERBATIM reference
 query text runs against the Spark triples table:
 
-  PREFIX declarations · SELECT [DISTINCT] ?v ... / CONSTRUCT
-  { template } · basic graph patterns ('a' = rdf:type) · OPTIONAL
-  { ... } · { ... } UNION { ... } chains · GRAPH <g> { ... } ·
-  BIND(?a AS ?b) · FILTER with comparisons, && || !, ?x IN (...),
-  STR(), STRSTARTS(), isUri()/isIRI() · property paths pred+ /
-  pred* / pred{m,n} (bounded; see graphquery)
+  PREFIX declarations · SELECT [DISTINCT] ?v ... / SELECT COUNT(*)
+  / CONSTRUCT { template } · FROM <g> dataset clauses · basic graph
+  patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
+  { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
+  comparisons, && || !, ?x IN (...), STR(), STRSTARTS(),
+  isUri()/isIRI() · property paths pred+ / pred* / pred{m,n}
+  (bounded; see graphquery)
 
 This is the COMPLETE construct inventory of the reference's shipped
 query corpus (every .rq under /root/reference — annotations.rq,
@@ -291,14 +292,33 @@ def parse_sparql(text: str, params: dict | None = None) -> dict:
         i += 3
     form = toks[i].upper()
     i += 1
-    out: dict = {"form": form, "select_vars": [], "template": []}
+    out: dict = {
+        "form": form,
+        "select_vars": [],
+        "template": [],
+        "count": False,
+        "from_graphs": [],
+    }
     if form == "SELECT":
         if toks[i].upper() == "DISTINCT":
             i += 1  # solutions are projected with set semantics anyway
+        if toks[i].upper() == "COUNT":
+            # SELECT COUNT(*): the reference's store-size query
+            # (triplestore.py triple_count, FusekiStore)
+            if toks[i + 1 : i + 4] != ["(", "*", ")"]:
+                raise SparqlSyntaxError("only COUNT(*) supported")
+            out["count"] = True
+            i += 4
         while toks[i].startswith("?") or toks[i] == "*":
             if toks[i] != "*":
                 out["select_vars"].append(toks[i][1:])
             i += 1
+        # FROM <g> dataset clauses (documentrepository.facet_query
+        # emits one); scoped like GRAPH — a filter on the `graph`
+        # column for multi-graph tables, identity otherwise
+        while toks[i].upper() == "FROM":
+            out["from_graphs"].append(_resolve(toks[i + 1], prefixes))
+            i += 2
     elif form == "CONSTRUCT":
         if toks[i] != "{":
             raise SparqlSyntaxError("CONSTRUCT needs '{ template }'")
@@ -378,14 +398,24 @@ def run_sparql(
     (set semantics); CONSTRUCT returns the engine triples schema,
     ready for rdfio.to_ntriples or a triplestore sink."""
     q = parse_sparql(text, params)
-    sols = _compile_group(triples, q["where"], max_path_hops)
     from pyspark.sql import functions as F
+
+    if q["from_graphs"] and "graph" in triples.columns:
+        triples = triples.filter(F.col("graph").isin(q["from_graphs"]))
+    sols = _compile_group(triples, q["where"], max_path_hops)
 
     if q["form"] == "SELECT":
         vars_ = q["select_vars"] or sorted(
             c for c in sols.columns
             if not c.startswith(("_isuri_", "_lang_", "_dt_")) and c != "_ground"
         )
+        if q["count"]:
+            # solutions over a triple SET: bag COUNT(*) == set count
+            return (
+                sols.select(*vars_)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
         return sols.select(*vars_).distinct()
 
     # CONSTRUCT: one output triple per template entry per solution,

@@ -394,3 +394,64 @@ def test_prop_annotations_rq_verbatim(spark):
         DCT + "isReferencedBy",
         "http://ex.org/ref2",
     ) not in rows
+
+
+def test_facet_query_verbatim(spark):
+    """The exact SELECT the reference's facet_query() generates
+    (documentrepository.py:2319 doctest): SELECT DISTINCT with a
+    FROM <graph> dataset clause and five OPTIONALs."""
+    FOAF = "http://xmlns.com/foaf/0.1/"
+    query = """PREFIX dcterms: <http://purl.org/dc/terms/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+
+SELECT DISTINCT ?uri ?rdf_type ?dcterms_title ?dcterms_publisher ?dcterms_identifier ?dcterms_issued
+FROM <http://example.org/ctx/base>
+WHERE {
+    ?uri rdf:type foaf:Document .
+    OPTIONAL { ?uri rdf:type ?rdf_type . }
+    OPTIONAL { ?uri dcterms:title ?dcterms_title . }
+    OPTIONAL { ?uri dcterms:publisher ?dcterms_publisher . }
+    OPTIONAL { ?uri dcterms:identifier ?dcterms_identifier . }
+    OPTIONAL { ?uri dcterms:issued ?dcterms_issued . }
+
+}"""
+    ctx = "http://example.org/ctx/base"
+    base = [
+        ("d1", RDF + "type", FOAF + "Document", True, None, None),
+        ("d1", DCT + "title", "Alpha", False, "en", None),
+        # decoy in another named graph: FROM must exclude it
+        ("d9", RDF + "type", FOAF + "Document", True, None, None),
+    ]
+    graphs = [ctx, ctx, "http://example.org/ctx/other"]
+    g3 = spark.createDataFrame(
+        [r + (gr,) for r, gr in zip(base, graphs)], SCHEMA + ", graph string"
+    )
+    got = run_sparql(g3, query).collect()
+    assert [tuple(r) for r in got] == [
+        ("d1", FOAF + "Document", "Alpha", None, None, None)
+    ]
+
+
+def test_triple_count_verbatim(spark):
+    """The reference's FusekiStore.triple_count SELECT COUNT(*)
+    queries (triplestore.py:665,670) run verbatim: per-context via
+    GRAPH, and the default-graph form."""
+    base = [
+        ("a", "p", "x", False, None, None),
+        ("a", "q", "y", False, None, None),
+        ("b", "p", "z", False, None, None),
+    ]
+    graphs = ["http://ex.org/g1", "http://ex.org/g1", "http://ex.org/g2"]
+    g3 = spark.createDataFrame(
+        [r + (gr,) for r, gr in zip(base, graphs)], SCHEMA + ", graph string"
+    )
+    ctx_q = "SELECT COUNT(*) WHERE { GRAPH <%(uri)s> { ?s ?p ?o}}"
+    got = run_sparql(
+        g3, ctx_q, params={"uri": "http://ex.org/g1"}
+    ).collect()
+    assert [tuple(r) for r in got] == [(2,)]
+    # default graph (single-graph table): counts everything
+    g4 = spark.createDataFrame(base, SCHEMA)
+    got4 = run_sparql(g4, "SELECT COUNT(*) WHERE {?s ?p ?o}").collect()
+    assert [tuple(r) for r in got4] == [(3,)]
