@@ -1689,6 +1689,60 @@ WHERE pred IN ('http://purl.org/dc/terms/references',
 """
 
 
+#: the exact SELECT the reference's facet_query() generates for a
+#: repo whose rdf_type is rfc:RFC and whose facets are (rdf:type,
+#: dcterms:title, dcterms:identifier, dcterms:issued) — same shape
+#: as the documentrepository.py:2330-2345 doctest, with this KG's
+#: vocabulary substituted the way facet_query does per-repo.  The
+#: FROM <ctx> dataset clause is kept verbatim; on the single-graph
+#: triples table it is the identity (see operators/sparql.py).
+FACET_QUERY_RQ = """PREFIX dcterms: <http://purl.org/dc/terms/>
+PREFIX rfc: <http://example.org/ontology/rfc/>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+
+SELECT DISTINCT ?uri ?rdf_type ?dcterms_title ?dcterms_identifier ?dcterms_issued
+FROM <http://example.org/ctx/base>
+WHERE {
+    ?uri rdf:type rfc:RFC .
+    OPTIONAL { ?uri rdf:type ?rdf_type . }
+    OPTIONAL { ?uri dcterms:title ?dcterms_title . }
+    OPTIONAL { ?uri dcterms:identifier ?dcterms_identifier . }
+    OPTIONAL { ?uri dcterms:issued ?dcterms_issued . }
+
+}"""
+
+
+def q_kg_facets_sparql(spark, sf_dir):
+    """faceted_data's SELECT (P7) through the SPARQL TEXT front-end:
+    the verbatim query documentrepository.facet_query() generates
+    (doctest at documentrepository.py:2330-2345), run against the
+    live KG — DISTINCT + FROM dataset clause + per-facet OPTIONALs
+    compiled to left joins on the triples table."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(_kg(spark, sf_dir).triples, FACET_QUERY_RQ)
+
+
+ORACLE_KG_FACETS_TMPL = """
+SELECT DISTINCT d.subj AS uri,
+       rt.obj AS rdf_type,
+       tt.obj AS dcterms_title,
+       ti.obj AS dcterms_identifier,
+       ts.obj AS dcterms_issued
+FROM {t} d
+LEFT JOIN {t} rt ON rt.subj = d.subj
+  AND rt.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+LEFT JOIN {t} tt ON tt.subj = d.subj
+  AND tt.pred = 'http://purl.org/dc/terms/title'
+LEFT JOIN {t} ti ON ti.subj = d.subj
+  AND ti.pred = 'http://purl.org/dc/terms/identifier'
+LEFT JOIN {t} ts ON ts.subj = d.subj
+  AND ts.pred = 'http://purl.org/dc/terms/issued'
+WHERE d.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  AND d.obj = 'http://example.org/ontology/rfc/RFC'
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2374,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "kg_paths": q_kg_paths,
         "kg_sparql": q_kg_sparql,
+        "kg_facets_sparql": q_kg_facets_sparql,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2443,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp": _oracle_kg_bgp(),
         "kg_paths": _oracle_kg_paths(),
         "kg_sparql": ORACLE_KG_SPARQL_TMPL.format(t=_kg_t("triples")),
+        "kg_facets_sparql": ORACLE_KG_FACETS_TMPL.format(t=_kg_t("triples")),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),
