@@ -374,6 +374,23 @@ def main():
         )
     )
 
+    from ferenda_spark.operators.sparql import run_sparql
+
+    checks.append(
+        (
+            "kg_facets_sparql",
+            run_sparql(tstore, catalog.FACET_QUERY_RQ),
+            [
+                ("pred constants pushed to scan", lambda p: "PushedFilters" in p
+                 and "pred" in p.split("PushedFilters")[1][:200]),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("OPTIONALs are left outer joins",
+                 lambda p: "LeftOuter" in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
