@@ -66,6 +66,8 @@ HEADLINE = [
     "kg_ntriples",
     "kg_bgp",
     "kg_paths",
+    "kg_sparql",
+    "kg_facets_sparql",
 ]
 
 
