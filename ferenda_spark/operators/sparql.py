@@ -409,6 +409,12 @@ def run_sparql(
             c for c in sols.columns
             if not c.startswith(("_isuri_", "_lang_", "_dt_")) and c != "_ground"
         )
+        # SPARQL projects unbound variables as NULL (the reference's
+        # sfs_forfattningskommentar.rq selects a ?desc no pattern
+        # binds); Spark would reject the missing column instead
+        for v in vars_:
+            if v not in sols.columns:
+                sols = sols.withColumn(v, F.lit(None).cast("string"))
         if q["count"]:
             # solutions over a triple SET: bag COUNT(*) == set count
             return (
