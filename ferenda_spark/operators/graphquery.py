@@ -166,24 +166,23 @@ def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFram
             base, lo, hi = bounds
             return _path_pattern_df(triples, s, base, o, lo, hi)
     df = triples
-    cols = []
-    if _is_var(s):
-        cols.append(F.col("subj").alias(_vname(s)))
-    else:
-        df = df.filter(F.col("subj") == s)
-    if _is_var(p):
-        cols.append(F.col("pred").alias(_vname(p)))
-    else:
-        df = df.filter(F.col("pred") == p)
-    if _is_var(o):
-        v = _vname(o)
-        cols.append(F.col("obj").alias(v))
-        cols.append(F.col("obj_is_uri").alias(f"_isuri_{v}"))
-        if "lang" in triples.columns:
-            cols.append(F.col("lang").alias(f"_lang_{v}"))
-            cols.append(F.col("datatype").alias(f"_dt_{v}"))
-    else:
-        df = df.filter(F.col("obj") == o)
+    cols, seen = [], {}
+    for term, src in ((s, "subj"), (p, "pred"), (o, "obj")):
+        if not _is_var(term):
+            df = df.filter(F.col(src) == term)
+        elif _vname(term) in seen:
+            # one variable twice in a pattern (?x <p> ?x): an
+            # equality constraint, not a second column
+            df = df.filter(F.col(src) == F.col(seen[_vname(term)]))
+        else:
+            v = _vname(term)
+            seen[v] = src
+            cols.append(F.col(src).alias(v))
+            if src == "obj":
+                cols.append(F.col("obj_is_uri").alias(f"_isuri_{v}"))
+                if "lang" in triples.columns:
+                    cols.append(F.col("lang").alias(f"_lang_{v}"))
+                    cols.append(F.col("datatype").alias(f"_dt_{v}"))
     if not cols:  # fully-ground pattern: existence gate, one row max
         return df.select(F.lit(True).alias("_ground")).limit(1)
     return df.select(*cols)

@@ -1,0 +1,218 @@
+"""Property-based checks of the SPARQL surface against INDEPENDENT
+models: the parser against a renderer round-trip (pure Python,
+hypothesis), and the BGP compiler against a naive in-memory
+solution-set evaluator (seeded random graphs, one Spark session).
+
+The naive evaluator implements SPARQL BGP/OPTIONAL semantics from
+the spec definition (solution mappings + compatible-merge), sharing
+no code with the DataFrame compiler.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ferenda_spark.operators.graphquery import bgp
+from ferenda_spark.operators.sparql import parse_sparql
+
+EX = "http://ex.org/"
+
+# ---------------------------------------------------------------
+# 1. parser round-trip: render(structure) -> parse -> structure
+# ---------------------------------------------------------------
+
+_var = st.integers(0, 4).map(lambda i: f"?v{i}")
+_iri = st.integers(0, 4).map(lambda i: EX + f"x{i}")
+_lit = st.integers(0, 4).map(lambda i: f"lit{i}")
+
+_subj = st.one_of(_var, _iri)
+_pred = st.one_of(_var, _iri)
+_obj = st.one_of(_var, _iri, _lit)
+_triple = st.tuples(_subj, _pred, _obj)
+
+
+def _render_term(t, rnd: random.Random) -> str:
+    if t.startswith("?"):
+        return t
+    if t.startswith(EX):
+        # randomly choose full-IRI or prefixed-name spelling
+        return f"<{t}>" if rnd.random() < 0.5 else "ex:" + t[len(EX):]
+    return '"%s"' % t
+
+
+def _render(patterns, optionals, rnd: random.Random) -> str:
+    """Structure -> SPARQL text, exercising both '.'-terminated
+    statements and ';' predicate lists for shared subjects."""
+    def stmts(pats):
+        out, i = [], 0
+        while i < len(pats):
+            s, p, o = pats[i]
+            parts = [
+                f"{_render_term(s, rnd)} {_render_term(p, rnd)} "
+                f"{_render_term(o, rnd)}"
+            ]
+            # fold following patterns with the SAME subject into ';'
+            while (
+                rnd.random() < 0.5
+                and i + 1 < len(pats)
+                and pats[i + 1][0] == s
+            ):
+                i += 1
+                _, p2, o2 = pats[i]
+                parts.append(
+                    f"{_render_term(p2, rnd)} {_render_term(o2, rnd)}"
+                )
+            out.append(" ;\n  ".join(parts) + " .")
+            i += 1
+        return "\n".join(out)
+
+    body = stmts(patterns)
+    for group in optionals:
+        body += "\nOPTIONAL {\n" + stmts(group) + "\n}"
+    return (
+        "PREFIX ex: <" + EX + ">\nSELECT * WHERE {\n" + body + "\n}"
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(_triple, min_size=1, max_size=6),
+    st.lists(st.lists(_triple, min_size=1, max_size=2), max_size=2),
+    st.integers(0, 2**31),
+)
+def test_parse_roundtrip(patterns, optionals, seed):
+    rnd = random.Random(seed)
+    q = parse_sparql(_render(patterns, optionals, rnd))
+    assert q["form"] == "SELECT"
+    assert q["where"]["patterns"] == patterns
+    assert q["where"]["optionals"] == optionals
+
+
+# ---------------------------------------------------------------
+# 2. BGP compiler vs naive evaluator
+# ---------------------------------------------------------------
+
+SCHEMA = (
+    "subj string, pred string, obj string, obj_is_uri boolean, "
+    "lang string, datatype string"
+)
+
+
+def _naive_match(triples, pat, sols):
+    out = []
+    for sol in sols:
+        for t in triples:
+            b, ok = dict(sol), True
+            for term, val in zip(pat, t):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in b and b[v] != val:
+                        ok = False
+                        break
+                    b[v] = val
+                elif term != val:
+                    ok = False
+                    break
+            if ok:
+                out.append(b)
+    return out
+
+
+def _naive_bgp(triples, patterns, optionals=()):
+    """Spec-definition evaluator: fold patterns over solution
+    mappings; OPTIONAL = left join of the group's own solutions on
+    compatible shared bindings."""
+    sols = [{}]
+    for p in patterns:
+        sols = _naive_match(triples, p, sols)
+    for group in optionals:
+        gs = [{}]
+        for p in group:
+            gs = _naive_match(triples, p, gs)
+        joined = []
+        for s in sols:
+            hits = [
+                g for g in gs
+                if all(s[k] == g[k] for k in g if k in s)
+            ]
+            if hits:
+                joined += [{**s, **g} for g in hits]
+            else:
+                joined.append(s)
+        sols = joined
+    return sols
+
+
+def _gen_case(rnd: random.Random):
+    """A random graph + a random connected-enough query.  Terms draw
+    from a small vocab so joins actually hit; optionals are forced
+    to share a variable with the mains (a disconnected OPTIONAL is a
+    no-op in the compiler by design)."""
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    lits = [f"L{i}" for i in range(3)]
+    triples = list(
+        {
+            (
+                rnd.choice(nodes),
+                rnd.choice(preds),
+                rnd.choice(nodes + lits),
+            )
+            for _ in range(rnd.randint(3, 12))
+        }
+    )
+
+    def term(kind_pool, var_p=0.5, max_var=3):
+        if rnd.random() < var_p:
+            return f"?v{rnd.randint(0, max_var)}"
+        return rnd.choice(kind_pool)
+
+    mains = [
+        (term(nodes), term(preds, 0.3), term(nodes + lits))
+        for _ in range(rnd.randint(1, 3))
+    ]
+    main_vars = {t for pat in mains for t in pat if t.startswith("?")}
+    optionals = []
+    if main_vars and rnd.random() < 0.6:
+        anchor = rnd.choice(sorted(main_vars))
+        optionals.append(
+            [(anchor, term(preds, 0.2), f"?w{rnd.randint(0, 1)}")]
+        )
+    return triples, mains, optionals
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_bgp_matches_naive_evaluator(spark, seed):
+    rnd = random.Random(1000 + seed)
+    triples, mains, optionals = _gen_case(rnd)
+    rows = [
+        (s, p, o, o.startswith("http://"), None, None)
+        for s, p, o in triples
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+
+    got_df = bgp(g, mains, optionals=optionals)
+    vars_ = sorted(got_df.columns)
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+
+    want = {
+        tuple(sol.get(v) for v in vars_)
+        for sol in _naive_bgp(triples, mains, optionals)
+    }
+    assert got == want, (mains, optionals, sorted(triples))
+
+
+def test_repeated_var_in_one_pattern(spark):
+    """?x <p> ?x is an equality constraint (diagonal), one column."""
+    rows = [
+        ("a", EX + "p0", "a", True, None, None),
+        ("a", EX + "p0", "b", True, None, None),
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = bgp(g, [("?x", EX + "p0", "?x")])
+    assert got.columns == ["x"]
+    assert [tuple(r) for r in got.collect()] == [("a",)]
