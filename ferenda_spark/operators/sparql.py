@@ -43,6 +43,7 @@ from ferenda_spark.operators.graphquery import (
     _join,
     _order_patterns,
     _pattern_df,
+    _visible,
 )
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -362,6 +363,22 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
         u = parts[0]
         for p_ in parts[1:]:
             u = u.unionByName(p_, allowMissingColumns=True)
+        if df is not None:
+            # joining a UNION onto prior patterns equi-joins on the
+            # shared variables; a branch that does not bind one would
+            # silently drop its solutions (NULL join key), where
+            # SPARQL's compatible-merge would keep them — raise
+            # loudly instead of answering wrong (no reference query
+            # needs the general case)
+            shared = _visible(df) & _visible(u)
+            for part in parts:
+                missing = shared - _visible(part)
+                if missing:
+                    raise SparqlSyntaxError(
+                        "UNION branch does not bind join variable(s) "
+                        f"{sorted(missing)}; compatible-merge join is "
+                        "not supported — bind them in every branch"
+                    )
         df = u if df is None else _join(df, u)
     for opt in g["optionals"]:
         ordered = _order_patterns(opt)

@@ -216,3 +216,164 @@ def test_repeated_var_in_one_pattern(spark):
     got = bgp(g, [("?x", EX + "p0", "?x")])
     assert got.columns == ["x"]
     assert [tuple(r) for r in got.collect()] == [("a",)]
+
+
+# ---------------------------------------------------------------
+# 3. full text front-end (render -> run_sparql) vs naive evaluator,
+#    including UNION chains and FILTER
+# ---------------------------------------------------------------
+
+from ferenda_spark.operators.sparql import (  # noqa: E402
+    SparqlSyntaxError,
+    run_sparql,
+)
+
+
+def _naive_query(triples, mains, optionals, unions, filters):
+    """mains/optionals as in _naive_bgp; unions: list of
+    alternative-pattern-lists merged by (engine-guarded) shared-var
+    equi-join; filters: (var, != value) pairs."""
+    sols = [{}]
+    for p in mains:
+        sols = _naive_match(triples, p, sols)
+    for alts in unions:
+        usols = []
+        for alt in alts:
+            asols = [{}]
+            for p in alt:
+                asols = _naive_match(triples, p, asols)
+            usols += asols
+        merged = []
+        for s in sols:
+            for u in usols:
+                if all(s[k] == u[k] for k in u if k in s):
+                    merged.append({**s, **u})
+        sols = merged
+    for group in optionals:
+        gs = [{}]
+        for p in group:
+            gs = _naive_match(triples, p, gs)
+        joined = []
+        for s in sols:
+            hits = [g for g in gs if all(s[k] == g[k] for k in g if k in s)]
+            joined += [{**s, **g} for g in hits] if hits else [s]
+        sols = joined
+    for var, val in filters:
+        # != on an unbound var: SPARQL type error drops the row, and
+        # SQL NULL-comparison drops it too — same outcome
+        sols = [s for s in sols if s.get(var) is not None and s[var] != val]
+    return sols
+
+
+def _render_full(mains, optionals, unions, filters, rnd):
+    body = []
+    for s, p, o in mains:
+        body.append(
+            f"{_render_term(s, rnd)} {_render_term(p, rnd)} "
+            f"{_render_term(o, rnd)} ."
+        )
+    for alts in unions:
+        rendered = []
+        for alt in alts:
+            stmts = "\n".join(
+                f"{_render_term(s, rnd)} {_render_term(p, rnd)} "
+                f"{_render_term(o, rnd)} ."
+                for s, p, o in alt
+            )
+            rendered.append("{\n" + stmts + "\n}")
+        body.append(" UNION ".join(rendered))
+    for group in optionals:
+        stmts = "\n".join(
+            f"{_render_term(s, rnd)} {_render_term(p, rnd)} "
+            f"{_render_term(o, rnd)} ."
+            for s, p, o in group
+        )
+        body.append("OPTIONAL {\n" + stmts + "\n}")
+    for var, val in filters:
+        body.append(f'FILTER (?{var} != "{val}")')
+    return (
+        "PREFIX ex: <" + EX + ">\nSELECT * WHERE {\n"
+        + "\n".join(body)
+        + "\n}"
+    )
+
+
+def _gen_full_case(rnd: random.Random):
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    lits = [f"L{i}" for i in range(3)]
+    triples = list(
+        {
+            (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes + lits))
+            for _ in range(rnd.randint(4, 12))
+        }
+    )
+
+    def term(pool, var_p=0.5, vmax=2):
+        return (
+            f"?v{rnd.randint(0, vmax)}" if rnd.random() < var_p
+            else rnd.choice(pool)
+        )
+
+    mains = [
+        (term(nodes), term(preds, 0.3), term(nodes + lits))
+        for _ in range(rnd.randint(1, 2))
+    ]
+    main_vars = sorted(
+        {t[1:] for pat in mains for t in pat if t.startswith("?")}
+    )
+    unions = []
+    if main_vars and rnd.random() < 0.8:
+        # both branches bind exactly the anchor var (engine contract)
+        anchor = "?" + rnd.choice(main_vars)
+        unions.append(
+            [
+                [(anchor, rnd.choice(preds), rnd.choice(nodes + lits))],
+                [(anchor, rnd.choice(preds), rnd.choice(nodes + lits))],
+            ]
+        )
+    optionals = []
+    if main_vars and rnd.random() < 0.5:
+        anchor = "?" + rnd.choice(main_vars)
+        optionals.append([(anchor, term(preds, 0.2), "?w0")])
+    filters = []
+    if main_vars and rnd.random() < 0.6:
+        filters.append((rnd.choice(main_vars), rnd.choice(lits + ["n1"])))
+    return triples, mains, optionals, unions, filters
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_run_sparql_matches_naive_evaluator(spark, seed):
+    rnd = random.Random(7000 + seed)
+    triples, mains, optionals, unions, filters = _gen_full_case(rnd)
+    rows = [
+        (s, p, o, o.startswith("http://"), None, None)
+        for s, p, o in triples
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    text = _render_full(mains, optionals, unions, filters, rnd)
+
+    got_df = run_sparql(g, text)
+    vars_ = sorted(got_df.columns)
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+    want = {
+        tuple(sol.get(v) for v in vars_)
+        for sol in _naive_query(triples, mains, optionals, unions, filters)
+    }
+    assert got == want, text
+
+
+def test_union_branch_missing_join_var_raises(spark):
+    """A UNION branch that does not bind the shared variable would
+    silently lose solutions under equi-join semantics — the engine
+    must refuse it instead."""
+    g = spark.createDataFrame(
+        [("a", EX + "p0", "b", True, None, None)], SCHEMA
+    )
+    q = (
+        "PREFIX ex: <" + EX + "> SELECT * WHERE { "
+        "?x ex:p0 ?y . "
+        "{ ?x ex:p1 ?z . } UNION { ?q ex:p2 ?z . } }"
+    )
+    with pytest.raises(SparqlSyntaxError, match="UNION branch"):
+        run_sparql(g, q).collect()
