@@ -209,6 +209,61 @@ def _join(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
     return left.join(right, shared, how)
 
 
+def _copy_endpoint(df: DataFrame, src_v: str, dst_v: str) -> DataFrame:
+    """Zero-hop identity solutions of a var-var path: bind the free
+    endpoint to the bound one (plus term metadata — a copy if the
+    source has any, else subject-position defaults)."""
+    out = df.withColumn(dst_v, F.col(src_v))
+    for m in _META:
+        sc, dc = f"{m}{src_v}", f"{m}{dst_v}"
+        if sc in df.columns:
+            out = out.withColumn(dc, F.col(sc))
+        elif m == "_isuri_":
+            out = out.withColumn(dc, F.lit(True))
+        else:
+            out = out.withColumn(dc, F.lit(None).cast("string"))
+    return out
+
+
+def _join_pattern(triples, df, pat, max_path_hops) -> DataFrame:
+    """Fold one pattern onto the solutions built so far.
+
+    The scale-critical special case: a var-var zero-or-more path
+    (?a pred* ?b) whose endpoint is already bound.  Compiled naively
+    its zero-hop identity needs the distinct node set of the whole
+    store; bound, the identity solutions are just ?b := ?a — a
+    projection, no scan (the ≥1-hop pairs still come from the
+    bounded closure).  This is how keyword_sfs.rq's
+    `?uri dcterms:isPartOf* ?baseuri` stays store-scan-free at
+    10^12 triples."""
+    s, p, o = pat
+    if df is not None and isinstance(p, str) and not _is_var(p):
+        bounds = _path_bounds(p, max_path_hops)
+        if bounds and bounds[1] == 0 and _is_var(s) and _is_var(o):
+            base, _, hi = bounds
+            sv, ov, vis = _vname(s), _vname(o), _visible(df)
+            if sv in vis or ov in vis:
+                pos = _path_pattern_df(triples, s, base, o, 1, hi)
+                joined = _join(df, pos)
+                if sv in vis and ov in vis:
+                    ident = df.filter(F.col(sv) == F.col(ov))
+                elif sv in vis:
+                    ident = _copy_endpoint(df, sv, ov)
+                else:
+                    ident = _copy_endpoint(df, ov, sv)
+                return joined.unionByName(ident, allowMissingColumns=True)
+    nxt = _pattern_df(triples, pat, max_path_hops)
+    return nxt if df is None else _join(df, nxt)
+
+
+def _fold_patterns(triples, patterns, max_path_hops, df=None) -> DataFrame:
+    """Selectivity-ordered fold of a pattern group onto `df` (or
+    from scratch when df is None)."""
+    for pat in _order_patterns(patterns):
+        df = _join_pattern(triples, df, pat, max_path_hops)
+    return df
+
+
 def _order_patterns(patterns) -> list:
     """Most-constants-first, then greedily connected — the classic
     selectivity heuristic, applied at compile time (AQE re-plans the
@@ -248,15 +303,9 @@ def bgp(
       columns (``?x`` is column ``x``), e.g. ``"issued >= '2004'"``.
     select: variable names (without "?") to project; default all.
     """
-    ordered = _order_patterns(patterns)
-    out = _pattern_df(triples, ordered[0], max_path_hops)
-    for pat in ordered[1:]:
-        out = _join(out, _pattern_df(triples, pat, max_path_hops))
+    out = _fold_patterns(triples, patterns, max_path_hops)
     for group in optionals:
-        g = _order_patterns(group)
-        gdf = _pattern_df(triples, g[0], max_path_hops)
-        for pat in g[1:]:
-            gdf = _join(gdf, _pattern_df(triples, pat, max_path_hops))
+        gdf = _fold_patterns(triples, group, max_path_hops)
         out = _join(out, gdf, "left")
     for f in filters:
         out = out.filter(F.expr(f))
@@ -283,15 +332,9 @@ def construct(
     For a variable object, pass obj_is_uri=None to reuse the matched
     term's own metadata (uri-ness, lang, datatype) captured by the
     WHERE clause."""
-    ordered = _order_patterns(list(where))
-    full = _pattern_df(triples, ordered[0], max_path_hops)
-    for pat in ordered[1:]:
-        full = _join(full, _pattern_df(triples, pat, max_path_hops))
+    full = _fold_patterns(triples, list(where), max_path_hops)
     for group in optionals:
-        g = _order_patterns(group)
-        gdf = _pattern_df(triples, g[0], max_path_hops)
-        for pat in g[1:]:
-            gdf = _join(gdf, _pattern_df(triples, pat, max_path_hops))
+        gdf = _fold_patterns(triples, group, max_path_hops)
         full = _join(full, gdf, "left")
     for f in filters:
         full = full.filter(F.expr(f))

@@ -40,9 +40,8 @@ import re
 from pyspark.sql import DataFrame
 
 from ferenda_spark.operators.graphquery import (
+    _fold_patterns,
     _join,
-    _order_patterns,
-    _pattern_df,
     _visible,
 )
 
@@ -342,10 +341,7 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
 
     df = None
     if g["patterns"]:
-        ordered = _order_patterns(g["patterns"])
-        df = _pattern_df(triples, ordered[0], max_path_hops)
-        for pat in ordered[1:]:
-            df = _join(df, _pattern_df(triples, pat, max_path_hops))
+        df = _fold_patterns(triples, g["patterns"], max_path_hops)
     for gterm, sub in g["graphs"]:
         # GRAPH <g> { ... }: scope the store to that graph's rows when
         # the table is multi-graph; a single-graph table IS the
@@ -381,10 +377,7 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
                     )
         df = u if df is None else _join(df, u)
     for opt in g["optionals"]:
-        ordered = _order_patterns(opt)
-        gdf = _pattern_df(triples, ordered[0], max_path_hops)
-        for pat in ordered[1:]:
-            gdf = _join(gdf, _pattern_df(triples, pat, max_path_hops))
+        gdf = _fold_patterns(triples, opt, max_path_hops)
         df = gdf if df is None else _join(df, gdf, "left")
     if df is None:
         raise SparqlSyntaxError("empty WHERE group")

@@ -377,3 +377,66 @@ def test_union_branch_missing_join_var_raises(spark):
     )
     with pytest.raises(SparqlSyntaxError, match="UNION branch"):
         run_sparql(g, q).collect()
+
+
+# ---------------------------------------------------------------
+# 4. var-var zero-or-more paths (keyword_sfs.rq shape): the
+#    algebraic zero-hop rewrite vs the spec expansion
+# ---------------------------------------------------------------
+
+
+def _naive_star_pairs(triples, pred, max_hops=3):
+    """Spec expansion: transitive pairs 1..max_hops plus the
+    zero-length identity over every term of the graph."""
+    step = {(s, o) for s, p, o in triples if p == pred}
+    pairs, frontier = set(step), set(step)
+    for _ in range(max_hops - 1):
+        frontier = {
+            (a, d) for a, b in frontier for c, d in step if b == c
+        }
+        pairs |= frontier
+    terms = {t for tr in triples for t in tr}
+    return pairs | {(t, t) for t in terms}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_varvar_star_path_matches_naive(spark, seed):
+    """?a <p0> X . ?a <p1>* ?b . ?b <p2> ?c — the reference's
+    keyword_sfs containment walk with BOTH path endpoints variable.
+    The compiler's bound-endpoint identity rewrite must equal the
+    spec's all-terms zero-hop expansion joined with the bindings."""
+    rnd = random.Random(4000 + seed)
+    nodes = [EX + f"n{i}" for i in range(5)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    triples = list(
+        {
+            (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes + ["L0"]))
+            for _ in range(rnd.randint(5, 14))
+        }
+    )
+    anchor_obj = rnd.choice(nodes + ["L0"])
+    mains = [
+        ("?a", EX + "p0", anchor_obj),
+        ("?a", EX + "p1*", "?b"),
+        ("?b", EX + "p2", "?c"),
+    ]
+    rows = [
+        (s, p, o, o.startswith("http://"), None, None)
+        for s, p, o in triples
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got_df = bgp(g, mains)
+    vars_ = sorted(got_df.columns)
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+
+    star = _naive_star_pairs(triples, EX + "p1")
+    sols = _naive_match(triples, ("?a", EX + "p0", anchor_obj), [{}])
+    sols = [
+        {**s, "b": b}
+        for s in sols
+        for (a, b) in star
+        if a == s["a"]
+    ]
+    sols = _naive_match(triples, ("?b", EX + "p2", "?c"), sols)
+    want = {tuple(s.get(v) for v in vars_) for s in sols}
+    assert got == want, (sorted(triples), anchor_obj)
