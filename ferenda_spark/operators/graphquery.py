@@ -264,12 +264,33 @@ def _fold_patterns(triples, patterns, max_path_hops, df=None) -> DataFrame:
     return df
 
 
+def _vv_zero_path(t) -> bool:
+    """Is this a var-var path pattern with a zero lower bound?  Such
+    patterns compile to a store-sized node-set identity UNLESS an
+    endpoint is already bound (see _join_pattern) — so ordering must
+    never let one lead a group it shares variables with."""
+    s, p, o = t
+    if not (_is_var(s) and _is_var(o) and isinstance(p, str) and not _is_var(p)):
+        return False
+    try:
+        bounds = _path_bounds(p, 3)
+    except ValueError:
+        return False
+    return bounds is not None and bounds[1] == 0
+
+
 def _order_patterns(patterns) -> list:
     """Most-constants-first, then greedily connected — the classic
     selectivity heuristic, applied at compile time (AQE re-plans the
-    physical side at runtime)."""
+    physical side at runtime).  Var-var zero-or-more paths sort last
+    so a binding pattern runs first and the zero-hop identity stays
+    algebraic (no node-set scan)."""
     rest = sorted(
-        patterns, key=lambda t: (sum(_is_var(x) for x in t), list(map(str, t)))
+        patterns,
+        key=lambda t: (
+            sum(_is_var(x) for x in t) + (4 if _vv_zero_path(t) else 0),
+            list(map(str, t)),
+        ),
     )
     if not rest:
         return []

@@ -378,6 +378,29 @@ def main():
 
     checks.append(
         (
+            "bound_varvar_star_path",
+            bgp(
+                tstore,
+                [
+                    ("?a", DCT + "references", "?x"),
+                    ("?a", DCT + "isPartOf*", "?b"),
+                ],
+                select=["a", "b"],
+            ),
+            [
+                # algebraic zero-hop: no node-set build (the fallback
+                # filters obj_is_uri to union subjects with objects;
+                # with the rewrite + column pruning the flag never
+                # appears in the plan at all)
+                ("no store node-set scan", lambda p: "obj_is_uri" not in p),
+                ("identity is a union branch", lambda p: "Union" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+    checks.append(
+        (
             "kg_facets_sparql",
             run_sparql(tstore, catalog.FACET_QUERY_RQ),
             [
