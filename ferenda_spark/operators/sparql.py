@@ -14,7 +14,9 @@ query text runs against the Spark triples table:
   { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS(),
   isUri()/isIRI() · property paths pred+ / pred* / pred{m,n}
-  (bounded; see graphquery)
+  (bounded; see graphquery) · ORDER BY [ASC|DESC] / LIMIT / OFFSET
+  (compiled to the top-(offset+limit) TakeOrderedAndProject plan,
+  never a global sort)
 
 This is the COMPLETE construct inventory of the reference's shipped
 query corpus (every .rq under /root/reference — annotations.rq,
@@ -331,6 +333,34 @@ def parse_sparql(text: str, params: dict | None = None) -> dict:
     if toks[i].upper() != "WHERE" or toks[i + 1] != "{":
         raise SparqlSyntaxError("expected WHERE { ... }")
     out["where"], i = _parse_group(toks, i + 2, prefixes)
+    # solution modifiers: ORDER BY [ASC|DESC](?v)... / LIMIT / OFFSET
+    out["order_by"], out["limit"], out["offset"] = [], None, 0
+    while i < len(toks):
+        kw = toks[i].upper()
+        if kw == "ORDER" and i + 1 < len(toks) and toks[i + 1].upper() == "BY":
+            i += 2
+            while i < len(toks):
+                t = toks[i]
+                if t.upper() in ("ASC", "DESC") and toks[i + 1] == "(":
+                    if not toks[i + 2].startswith("?") or toks[i + 3] != ")":
+                        raise SparqlSyntaxError("ORDER BY needs (?var)")
+                    out["order_by"].append((toks[i + 2][1:], t.upper() == "DESC"))
+                    i += 4
+                elif t.startswith("?"):
+                    out["order_by"].append((t[1:], False))
+                    i += 1
+                else:
+                    break
+            if not out["order_by"]:
+                raise SparqlSyntaxError("empty ORDER BY")
+        elif kw == "LIMIT":
+            out["limit"] = int(toks[i + 1])
+            i += 2
+        elif kw == "OFFSET":
+            out["offset"] = int(toks[i + 1])
+            i += 2
+        else:
+            raise SparqlSyntaxError(f"unexpected trailing token {toks[i]!r}")
     return out
 
 
@@ -432,7 +462,39 @@ def run_sparql(
                 .distinct()
                 .agg(F.count(F.lit(1)).alias("count"))
             )
-        return sols.select(*vars_).distinct()
+        out = sols.select(*vars_).distinct()
+        if q["order_by"]:
+            cols = [
+                F.col(v).desc() if d else F.col(v).asc()
+                for v, d in q["order_by"]
+            ]
+            # tie-break on all projected vars so pages are stable
+            cols += [F.col(v) for v in vars_]
+            if q["limit"] is not None:
+                # top-(offset+limit) plan — TakeOrderedAndProject,
+                # bounded per-partition heaps, never a global sort
+                # (same shape as query.paginate)
+                hi = q["offset"] + q["limit"]
+                out = out.orderBy(*cols).limit(hi)
+                if q["offset"]:
+                    from pyspark.sql import Window
+
+                    w = Window.orderBy(*cols)
+                    out = (
+                        out.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") > q["offset"])
+                        .drop("_rn")
+                    )
+            else:
+                out = out.orderBy(*cols)
+        else:
+            if q["offset"]:
+                raise SparqlSyntaxError(
+                    "OFFSET without ORDER BY is non-deterministic"
+                )
+            if q["limit"] is not None:
+                out = out.limit(q["limit"])
+        return out
 
     # CONSTRUCT: one output triple per template entry per solution,
     # variable objects re-emitted with their matched term metadata

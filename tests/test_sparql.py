@@ -474,3 +474,32 @@ def test_reference_corpus_executes(spark):
             out = run_sparql(g3, f.read(), params=_PARAMS)
         n = out.count()  # must not raise; row count itself is free
         assert n >= 0, path
+
+
+def test_order_by_limit_offset(spark, g):
+    """Solution modifiers compile to the paginate top-limit plan:
+    ORDER BY DESC(?v) LIMIT/OFFSET slices deterministically and the
+    physical plan is TakeOrderedAndProject, not a global sort."""
+    q = """SELECT ?doc ?t WHERE { ?doc <title> ?t . }
+           ORDER BY DESC(?t) LIMIT 2"""
+    out = run_sparql(g, q)
+    assert [tuple(r) for r in out.collect()] == [
+        ("d1#s1", "Intro"), ("d2", "Beta")
+    ]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
+    # OFFSET pages past the first result
+    q2 = """SELECT ?doc ?t WHERE { ?doc <title> ?t . }
+            ORDER BY DESC(?t) LIMIT 2 OFFSET 1"""
+    assert [tuple(r) for r in run_sparql(g, q2).collect()] == [
+        ("d2", "Beta"), ("d1", "Alpha")
+    ]
+    # bare LIMIT bounds the result; OFFSET alone is refused
+    assert run_sparql(g, "SELECT ?doc WHERE { ?doc <type> <Doc> . } LIMIT 1").count() == 1
+    with pytest.raises(SparqlSyntaxError):
+        run_sparql(g, "SELECT ?doc WHERE { ?doc <type> <Doc> . } OFFSET 1")
