@@ -277,10 +277,22 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
 def parse_sparql(text: str, params: dict | None = None) -> dict:
     """Parse the supported SPARQL subset (optionally %-interpolating
     `params` first, the reference's template convention) into
-    {form, select_vars, template, where}."""
+    {form, select_vars, template, where}.
+
+    Contract: malformed input of ANY shape raises SparqlSyntaxError
+    (never a bare IndexError/ValueError from token lookahead) —
+    fuzz-enforced in tests/test_sparql_properties.py."""
     if params:
         text = text % params
-    toks = _tokenize(text)
+    try:
+        return _parse_toks(_tokenize(text))
+    except SparqlSyntaxError:
+        raise
+    except (IndexError, ValueError) as e:
+        raise SparqlSyntaxError(f"malformed query: {e}") from e
+
+
+def _parse_toks(toks: list[str]) -> dict:
     prefixes, i = {}, 0
     while i < len(toks) and toks[i].upper() == "PREFIX":
         pfx = toks[i + 1]

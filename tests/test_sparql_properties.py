@@ -10,6 +10,7 @@ no code with the DataFrame compiler.
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -440,3 +441,32 @@ def test_varvar_star_path_matches_naive(spark, seed):
     sols = _naive_match(triples, ("?b", EX + "p2", "?c"), sols)
     want = {tuple(s.get(v) for v in vars_) for s in sols}
     assert got == want, (sorted(triples), anchor_obj)
+
+
+# ---------------------------------------------------------------
+# 5. parser robustness: malformed input of ANY shape raises
+#    SparqlSyntaxError, never a bare lookahead error
+# ---------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_parser_never_crashes_on_garbage(s):
+    try:
+        parse_sparql(s)
+    except SparqlSyntaxError:
+        pass
+
+
+def test_parser_clean_error_on_every_truncation():
+    """Every token-boundary truncation of a real corpus query fails
+    with SparqlSyntaxError (or parses, for prefix-only heads)."""
+    path = "/root/reference/ferenda/sources/tech/res/sparql/rfc-annotations.rq"
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    text = open(path).read() % {"uri": "http://x/1"}
+    for cut in range(0, len(text), 7):
+        try:
+            parse_sparql(text[:cut])
+        except SparqlSyntaxError:
+            pass
