@@ -15,3 +15,14 @@ __version__ = "0.1.0"
 
 from ferenda_spark.config import PipelineConfig  # noqa: F401
 from ferenda_spark.session import get_spark  # noqa: F401
+
+
+def run_sparql(triples, text, params=None, max_path_hops=3):
+    """Top-level convenience re-export: execute reference-style
+    SPARQL text against a triples DataFrame (the replacement for
+    ferenda's triplestore .select/.construct calls — see
+    operators/sparql.py for the supported subset).  Imported lazily
+    so `import ferenda_spark` stays pyspark-import-light."""
+    from ferenda_spark.operators.sparql import run_sparql as _run
+
+    return _run(triples, text, params=params, max_path_hops=max_path_hops)
