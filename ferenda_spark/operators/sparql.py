@@ -14,7 +14,9 @@ query text runs against the Spark triples table:
   { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS(),
   isUri()/isIRI() · property paths pred+ / pred* / pred{m,n}
-  (bounded; see graphquery) · ORDER BY [ASC|DESC] / LIMIT / OFFSET
+  (bounded; see graphquery) · MINUS / FILTER NOT EXISTS
+  (compiled to a LEFT ANTI join on shared variables) ·
+  ORDER BY [ASC|DESC] / LIMIT / OFFSET
   (compiled to the top-(offset+limit) TakeOrderedAndProject plan,
   never a global sort)
 
@@ -106,6 +108,7 @@ def _empty_group() -> dict:
         "unions": [],
         "binds": [],
         "graphs": [],
+        "minus": [],
     }
 
 
@@ -172,6 +175,25 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
                 raise SparqlSyntaxError("only BIND(?var AS ?var) supported")
             g["binds"].append((toks[i + 2][1:], toks[i + 4][1:]))
             i += 6
+            continue
+        if t.upper() == "MINUS":
+            if toks[i + 1] != "{":
+                raise SparqlSyntaxError("MINUS must be followed by '{'")
+            sub, i = _parse_group(toks, i + 2, prefixes)
+            g["minus"].append(sub)
+            continue
+        if (
+            t.upper() == "FILTER"
+            and i + 3 < len(toks)
+            and toks[i + 1].upper() == "NOT"
+            and toks[i + 2].upper() == "EXISTS"
+            and toks[i + 3] == "{"
+        ):
+            # FILTER NOT EXISTS { ... }: same anti-join compile as
+            # MINUS (they differ in SPARQL only for solutions sharing
+            # no variables, which the compiler refuses anyway)
+            sub, i = _parse_group(toks, i + 4, prefixes)
+            g["minus"].append(sub)
             continue
         if t.upper() == "FILTER":
             if toks[i + 1] != "(":
@@ -428,6 +450,21 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
         for m in ("_isuri_", "_lang_", "_dt_"):
             if f"{m}{src}" in df.columns:
                 df = df.withColumn(f"{m}{dst}", F.col(f"{m}{src}"))
+    for sub in g["minus"]:
+        # negation compiles to a LEFT ANTI join on the shared
+        # variables — the engine's native anti-join (J8), one
+        # shuffle, AQE-broadcast when the negated side is small.
+        # Solutions sharing NO variable with the negated group are
+        # where MINUS (keep) and NOT EXISTS (drop on any match)
+        # diverge; neither is an equi-join, so refuse loudly.
+        mdf = _compile_group(triples, sub, max_path_hops)
+        shared = sorted(_visible(df) & _visible(mdf))
+        if not shared:
+            raise SparqlSyntaxError(
+                "MINUS/NOT EXISTS group shares no variable with the "
+                "outer pattern — unsupported (not an equi-anti-join)"
+            )
+        df = df.join(mdf.select(*shared).distinct(), shared, "left_anti")
     for f in g["filters"]:
         # isUri(?v) on a variable bound only in subject/predicate
         # position: those are IRIs by RDF construction, so default

@@ -503,3 +503,35 @@ def test_order_by_limit_offset(spark, g):
     assert run_sparql(g, "SELECT ?doc WHERE { ?doc <type> <Doc> . } LIMIT 1").count() == 1
     with pytest.raises(SparqlSyntaxError):
         run_sparql(g, "SELECT ?doc WHERE { ?doc <type> <Doc> . } OFFSET 1")
+
+
+def test_minus_and_not_exists(spark, g):
+    """Negation compiles to the native anti-join: docs with a title
+    but no publisher, via both MINUS and FILTER NOT EXISTS."""
+    for neg in (
+        "MINUS { ?doc <publisher> ?pub . }",
+        "FILTER NOT EXISTS { ?doc <publisher> ?pub . }",
+    ):
+        got = run_sparql(
+            g,
+            "SELECT ?doc WHERE { ?doc <type> <Doc> . %s }" % neg,
+        ).collect()
+        assert [r["doc"] for r in got] == ["d2"], neg
+    # plan: a left-anti join, no Python
+    import io
+    from contextlib import redirect_stdout
+
+    out = run_sparql(
+        g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
+           "MINUS { ?doc <publisher> ?pub . } }"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    assert "LeftAnti" in buf.getvalue()
+    # a negated group sharing no variable is refused, not mis-joined
+    with pytest.raises(SparqlSyntaxError, match="shares no variable"):
+        run_sparql(
+            g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
+               "MINUS { ?other <title> ?t . } }"
+        ).collect()

@@ -470,3 +470,45 @@ def test_parser_clean_error_on_every_truncation():
             parse_sparql(text[:cut])
         except SparqlSyntaxError:
             pass
+
+
+# ---------------------------------------------------------------
+# 6. negation (MINUS / FILTER NOT EXISTS) vs the naive anti model
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_negation_matches_naive(spark, seed):
+    rnd = random.Random(9000 + seed)
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    triples = list(
+        {
+            (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes + ["L0"]))
+            for _ in range(rnd.randint(4, 12))
+        }
+    )
+    mainp, negp = rnd.choice(preds), rnd.choice(preds)
+    kw = "MINUS" if seed % 2 else "FILTER NOT EXISTS"
+    text = (
+        "PREFIX ex: <" + EX + "> SELECT * WHERE { "
+        f"?a <{mainp}> ?b . {kw} {{ ?a <{negp}> ?c . }} }}"
+    )
+    rows = [
+        (s, p, o, o.startswith("http://"), None, None)
+        for s, p, o in triples
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got_df = run_sparql(g, text)
+    vars_ = sorted(got_df.columns)
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+
+    sols = _naive_match(triples, ("?a", mainp, "?b"), [{}])
+    neg = _naive_match(triples, ("?a", negp, "?c"), [{}])
+    neg_keys = {m["a"] for m in neg}
+    want = {
+        tuple(s.get(v) for v in vars_)
+        for s in sols
+        if s["a"] not in neg_keys
+    }
+    assert got == want, text
