@@ -13,7 +13,9 @@ query text runs against the Spark triples table:
   patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
   { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS(),
-  isUri()/isIRI() · property paths pred+ / pred* / pred{m,n}
+  isUri()/isIRI()/lang()/datatype() · VALUES ?v { ... } (an
+  isin() filter, pushed into the pattern scans) · property paths
+  pred+ / pred* / pred{m,n}
   (bounded; see graphquery) · MINUS / FILTER NOT EXISTS
   (compiled to a LEFT ANTI join on shared variables) ·
   ORDER BY [ASC|DESC] / LIMIT / OFFSET
@@ -109,6 +111,7 @@ def _empty_group() -> dict:
         "binds": [],
         "graphs": [],
         "minus": [],
+        "values": [],
     }
 
 
@@ -175,6 +178,23 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
                 raise SparqlSyntaxError("only BIND(?var AS ?var) supported")
             g["binds"].append((toks[i + 2][1:], toks[i + 4][1:]))
             i += 6
+            continue
+        if t.upper() == "VALUES":
+            # inline data, single-variable form: VALUES ?v { t1 t2 }
+            # — compiles to an isin() filter Catalyst pushes into the
+            # pattern scans (the multi-variable table form is not
+            # used by any reference query; refused)
+            if not toks[i + 1].startswith("?") or toks[i + 2] != "{":
+                raise SparqlSyntaxError(
+                    "only single-variable VALUES ?v { ... } supported"
+                )
+            var = toks[i + 1][1:]
+            j = toks.index("}", i + 3)
+            vals = [_resolve(tk, prefixes) for tk in toks[i + 3 : j]]
+            if not vals:
+                raise SparqlSyntaxError("empty VALUES list")
+            g["values"].append((var, vals))
+            i = j + 1
             continue
         if t.upper() == "MINUS":
             if toks[i + 1] != "{":
@@ -263,15 +283,22 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             pass
         elif u == "STRSTARTS":
             out.append("startswith")
-        elif u in ("ISURI", "ISIRI"):
+        elif u in ("ISURI", "ISIRI", "LANG", "DATATYPE"):
             if not (
                 i + 3 < n
                 and toks[i + 1] == "("
                 and toks[i + 2].startswith("?")
                 and toks[i + 3] == ")"
             ):
-                raise SparqlSyntaxError("isUri() takes one variable")
-            out.append(f"coalesce(_isuri_{toks[i + 2][1:]}, false)")
+                raise SparqlSyntaxError(f"{t}() takes one variable")
+            v = toks[i + 2][1:]
+            if u in ("ISURI", "ISIRI"):
+                out.append(f"coalesce(_isuri_{v}, false)")
+            elif u == "LANG":
+                # SPARQL lang() is "" for plain literals
+                out.append(f"coalesce(_lang_{v}, '')")
+            else:
+                out.append(f"_dt_{v}")
             i += 4
             continue
         elif u == "IN":
@@ -465,13 +492,24 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
                 "outer pattern — unsupported (not an equi-anti-join)"
             )
         df = df.join(mdf.select(*shared).distinct(), shared, "left_anti")
+    for var, vals in g["values"]:
+        if var not in df.columns:
+            raise SparqlSyntaxError(
+                f"VALUES variable ?{var} is not bound by the group"
+            )
+        df = df.filter(F.col(var).isin(vals))
     for f in g["filters"]:
-        # isUri(?v) on a variable bound only in subject/predicate
-        # position: those are IRIs by RDF construction, so default
-        # the missing metadata column to TRUE
-        for v in re.findall(r"_isuri_(\w+)", f):
-            if f"_isuri_{v}" not in df.columns:
-                df = df.withColumn(f"_isuri_{v}", F.lit(True))
+        # term-metadata functions on a variable bound only in
+        # subject/predicate position: those are IRIs by RDF
+        # construction — isUri TRUE, lang/datatype NULL
+        for kind, v in re.findall(r"_(isuri|lang|dt)_(\w+)", f):
+            col = f"_{kind}_{v}"
+            if col not in df.columns:
+                df = df.withColumn(
+                    col,
+                    F.lit(True) if kind == "isuri"
+                    else F.lit(None).cast("string"),
+                )
         df = df.filter(F.expr(f))
     return df
 

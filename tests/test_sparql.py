@@ -535,3 +535,35 @@ def test_minus_and_not_exists(spark, g):
             g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
                "MINUS { ?other <title> ?t . } }"
         ).collect()
+
+
+def test_values_lang_datatype(spark, g):
+    """VALUES inline data (isin filter, pushed down) and the
+    term-metadata filters lang()/datatype() over the carried
+    _lang_/_dt_ companion columns."""
+    got = run_sparql(
+        g,
+        """SELECT ?doc ?t WHERE {
+             ?doc <title> ?t . VALUES ?doc { <d1> <d2> }
+           }""",
+    ).collect()
+    assert {tuple(r) for r in got} == {("d1", "Alpha"), ("d2", "Beta")}
+    got = run_sparql(
+        g,
+        """SELECT ?doc WHERE {
+             ?doc <title> ?t . FILTER(lang(?t) = "sv")
+           }""",
+    ).collect()
+    assert [r["doc"] for r in got] == ["d2"]
+    got = run_sparql(
+        g,
+        """SELECT ?doc WHERE {
+             ?doc <issued> ?d . FILTER(datatype(?d) = "xsd:gYearMonth")
+           }""",
+    ).collect()
+    assert {r["doc"] for r in got} == {"d1", "d2"}
+    # VALUES on an unbound variable is refused
+    with pytest.raises(SparqlSyntaxError, match="VALUES"):
+        run_sparql(
+            g, "SELECT ?doc WHERE { ?doc <title> ?t . VALUES ?zz { <d1> } }"
+        ).collect()
