@@ -1743,6 +1743,36 @@ WHERE d.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
 """
 
 
+def q_kg_sparql_neg(spark, sf_dir):
+    """SPARQL negation end-to-end: document parts never cited by
+    anything — FILTER NOT EXISTS compiled to the engine's left-anti
+    join, run from verbatim query text on the live KG."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?s WHERE {
+          ?s dcterms:isPartOf ?d .
+          FILTER NOT EXISTS { ?x dcterms:references ?s . }
+        }
+        """,
+    )
+
+
+ORACLE_KG_SPARQL_NEG_TMPL = """
+SELECT DISTINCT p.subj AS s
+FROM {t} p
+WHERE p.pred = 'http://purl.org/dc/terms/isPartOf'
+  AND NOT EXISTS (
+    SELECT 1 FROM {t} r
+    WHERE r.pred = 'http://purl.org/dc/terms/references'
+      AND r.obj = p.subj
+  )
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2429,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths": q_kg_paths,
         "kg_sparql": q_kg_sparql,
         "kg_facets_sparql": q_kg_facets_sparql,
+        "kg_sparql_neg": q_kg_sparql_neg,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2499,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_paths": _oracle_kg_paths(),
         "kg_sparql": ORACLE_KG_SPARQL_TMPL.format(t=_kg_t("triples")),
         "kg_facets_sparql": ORACLE_KG_FACETS_TMPL.format(t=_kg_t("triples")),
+        "kg_sparql_neg": ORACLE_KG_SPARQL_NEG_TMPL.format(t=_kg_t("triples")),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),
