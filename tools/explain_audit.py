@@ -414,6 +414,31 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "sparql_negation_values",
+            run_sparql(
+                tstore,
+                """PREFIX dcterms: <http://purl.org/dc/terms/>
+                SELECT ?s WHERE {
+                  ?s dcterms:isPartOf ?d .
+                  VALUES ?d { <https://kg.example.org/res/rfc/1> }
+                  FILTER NOT EXISTS { ?x dcterms:references ?s . }
+                }""",
+            ),
+            [
+                ("negation is a left-anti join", lambda p: "LeftAnti" in p),
+                # a 1-element VALUES folds to EqualTo; larger lists
+                # push as In — either way it reaches the scan
+                ("VALUES pushed into the scan", lambda p: "PushedFilters" in p
+                 and ("In(obj" in p.split("PushedFilters")[1][:400]
+                      or "EqualTo(obj," in p.split("PushedFilters")[1][:400])),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
