@@ -68,6 +68,7 @@ HEADLINE = [
     "kg_paths",
     "kg_sparql",
     "kg_facets_sparql",
+    "kg_sparql_neg",
 ]
 
 
