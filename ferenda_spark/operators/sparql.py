@@ -151,9 +151,12 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             if toks[i + 1] != "{":
                 raise SparqlSyntaxError("OPTIONAL must be followed by '{'")
             sub, i = _parse_group(toks, i + 2, prefixes)
-            if any(sub[k] for k in sub if k != "patterns"):
+            # patterns + FILTERs are supported in an OPTIONAL body
+            # (the filter scopes to the group, applied before the
+            # left join); deeper nesting is refused
+            if any(sub[k] for k in sub if k not in ("patterns", "filters")):
                 raise SparqlSyntaxError("nested OPTIONAL bodies unsupported")
-            g["optionals"].append(sub["patterns"])
+            g["optionals"].append(sub)
             continue
         if t.upper() == "GRAPH":
             # GRAPH <g> { ... }: the reference uses this to address a
@@ -320,7 +323,33 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
         else:
             raise SparqlSyntaxError(f"unsupported FILTER token {t!r}")
         i += 1
-    return " ".join(out)
+    return " ".join(_numeric_casts(out))
+
+
+def _numeric_casts(out: list[str]) -> list[str]:
+    """SPARQL compares numeric-typed literals numerically; the store
+    keeps lexical forms, so a comparison against a bare number casts
+    the variable side (TRY_CAST: a non-numeric value becomes NULL
+    and the row drops — the relational reading of SPARQL's
+    type-error-drops-solution rule, and ANSI-mode safe)."""
+    ops = {"<", ">", "<=", ">=", "=", "!="}
+
+    def is_num(t):
+        return bool(re.fullmatch(r"\d+(\.\d+)?", t))
+
+    def is_ident(t):
+        return bool(re.fullmatch(r"[A-Za-z_]\w*", t)) and t.upper() not in (
+            "AND", "OR", "NOT", "IN",
+        )
+
+    for k, t in enumerate(out):
+        if t in ops and 0 < k < len(out) - 1:
+            left, right = out[k - 1], out[k + 1]
+            if is_num(right) and is_ident(left):
+                out[k - 1] = f"TRY_CAST({left} AS DOUBLE)"
+            elif is_num(left) and is_ident(right):
+                out[k + 1] = f"TRY_CAST({right} AS DOUBLE)"
+    return out
 
 
 def parse_sparql(text: str, params: dict | None = None) -> dict:
@@ -468,7 +497,9 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
                     )
         df = u if df is None else _join(df, u)
     for opt in g["optionals"]:
-        gdf = _fold_patterns(triples, opt, max_path_hops)
+        # parser emits full sub-groups (patterns + group-scoped
+        # filters); compile recursively, then left-join
+        gdf = _compile_group(triples, opt, max_path_hops)
         df = gdf if df is None else _join(df, gdf, "left")
     if df is None:
         raise SparqlSyntaxError("empty WHERE group")

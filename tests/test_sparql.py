@@ -567,3 +567,37 @@ def test_values_lang_datatype(spark, g):
         run_sparql(
             g, "SELECT ?doc WHERE { ?doc <title> ?t . VALUES ?zz { <d1> } }"
         ).collect()
+
+
+def test_optional_with_filter_and_numeric_compare(spark):
+    """A FILTER inside an OPTIONAL scopes to the group (applied
+    before the left join), and comparisons against bare numbers are
+    numeric, not lexical ("9" < "10" numerically)."""
+    rows = [
+        ("d1", "http://p/score", "9", False, None, "xsd:integer"),
+        ("d2", "http://p/score", "10", False, None, "xsd:integer"),
+        ("d3", "http://p/score", "n/a", False, None, None),
+        ("d1", "http://p/name", "One", False, None, None),
+        ("d2", "http://p/name", "Two", False, None, None),
+        ("d3", "http://p/name", "Three", False, None, None),
+    ]
+    g2 = spark.createDataFrame(rows, SCHEMA)
+    # numeric: 10 > 9 even though "10" < "9" lexically; "n/a" drops
+    got = run_sparql(
+        g2,
+        """SELECT ?s WHERE {
+             ?s <http://p/score> ?v . FILTER(?v > 9)
+           }""",
+    ).collect()
+    assert [r["s"] for r in got] == ["d2"]
+    # group-scoped filter: every name survives; score only when > 9
+    got = run_sparql(
+        g2,
+        """SELECT ?s ?v WHERE {
+             ?s <http://p/name> ?n .
+             OPTIONAL { ?s <http://p/score> ?v . FILTER(?v > 9) }
+           }""",
+    ).collect()
+    assert {tuple(r) for r in got} == {
+        ("d1", None), ("d2", "10"), ("d3", None)
+    }

@@ -90,7 +90,9 @@ def test_parse_roundtrip(patterns, optionals, seed):
     q = parse_sparql(_render(patterns, optionals, rnd))
     assert q["form"] == "SELECT"
     assert q["where"]["patterns"] == patterns
-    assert q["where"]["optionals"] == optionals
+    # optionals parse to full sub-groups (patterns + filters)
+    assert [o["patterns"] for o in q["where"]["optionals"]] == optionals
+    assert all(not o["filters"] for o in q["where"]["optionals"])
 
 
 # ---------------------------------------------------------------
