@@ -45,8 +45,13 @@ def _norm(a):
 
 
 def cosine(a, b):
-    """Cosine similarity of two array<double> columns, JVM-side."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<double> columns, JVM-side.
+
+    Zero-norm vectors have no defined cosine: try_divide yields NULL
+    (the row drops from >= threshold filters) instead of the ANSI
+    DIVIDE_BY_ZERO error — without this, ONE all-zeros embedding
+    anywhere in a 10^12-row corpus kills the whole query."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _as_double(col):
@@ -99,13 +104,17 @@ def brute_force_topk(
                 continue
             cid = pdf["id"].to_numpy(dtype=np.int64)
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-            sims = (cmat @ mat_q.T) / (
-                np.linalg.norm(cmat, axis=1)[:, None] * nrm_q[None, :]
-            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (cmat @ mat_q.T) / (
+                    np.linalg.norm(cmat, axis=1)[:, None] * nrm_q[None, :]
+                )
             outq, outn, outs = [], [], []
             for j in range(len(ids_q)):
                 col = sims[:, j]
-                mask = cid != ids_q[j]
+                # drop undefined cosines (zero-norm vectors -> NaN):
+                # Spark's desc ordering ranks NaN above every real
+                # score, so one zero embedding would win rank 1
+                mask = (cid != ids_q[j]) & np.isfinite(col)
                 cand_idx = np.nonzero(mask)[0]
                 if not len(cand_idx):
                     continue
@@ -303,9 +312,10 @@ def threshold_pairs_exact(
                 continue
             cid = pdf["id"].to_numpy(dtype=np.int64)
             cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            sims = (cmat @ all_mat.T) / (
-                np.linalg.norm(cmat, axis=1)[:, None] * all_nrm[None, :]
-            )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (cmat @ all_mat.T) / (
+                    np.linalg.norm(cmat, axis=1)[:, None] * all_nrm[None, :]
+                )
             bi, bj = np.nonzero((sims >= threshold) & (cid[:, None] < all_ids[None, :]))
             yield pd.DataFrame({"id_a": cid[bi], "id_b": all_ids[bj]})
 
@@ -378,7 +388,8 @@ def threshold_pairs_blocked(
                 return pd.DataFrame({"id_a": [], "id_b": []})
             bmat = np.stack([np.asarray(v, dtype=np.float64) for v in b["v"]])
             bnrm = np.linalg.norm(bmat, axis=1)
-        sims = (amat @ bmat.T) / (anrm[:, None] * bnrm[None, :])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = (amat @ bmat.T) / (anrm[:, None] * bnrm[None, :])
         hit = sims >= threshold
         if i == j:
             ai, bj = np.nonzero(hit & (aids[:, None] < bids[None, :]))

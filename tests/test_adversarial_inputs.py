@@ -63,3 +63,33 @@ def test_dedup_family_survives(nasty):
     sigs = dedup.simhash(nasty, "text", "id")
     assert sigs.count() == n - 1
     assert sigs.filter("simhash IS NULL").count() == 0
+
+
+def test_similarity_survives_zero_and_nan_vectors(spark):
+    """One all-zeros or NaN embedding must neither crash the job
+    (ANSI DIVIDE_BY_ZERO) nor win a top-k slot (NaN sorts above
+    every real score in a descending Spark window)."""
+    from pyspark.sql import functions as F
+
+    from ferenda_spark.operators import similarity as S
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 1.0, 0.0, 0.0]),
+        (4, [float("nan"), 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(rows[1:2], "vec_id long, embedding array<double>")
+    top = S.brute_force_topk(df, q, k=3).collect()
+    assert top and all(r["neighbor_id"] not in (0, 4) for r in top)
+    pairs = {(r[0], r[1]) for r in S.threshold_pairs_blocked(df, 0.5).collect()}
+    assert pairs == {(1, 3), (2, 3)}
+    cos = (
+        df.crossJoin(q.selectExpr("embedding AS qv"))
+        .select("vec_id", S.cosine(F.col("embedding"), F.col("qv")).alias("c"))
+        .collect()
+    )
+    byid = {r["vec_id"]: r["c"] for r in cos}
+    assert byid[0] is None and byid[1] == 1.0  # zero-norm -> NULL, not error
