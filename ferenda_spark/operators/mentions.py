@@ -174,6 +174,11 @@ def _jvm_scan_col(text):
 
 
 def _mask_and_sort(wa, names: list):
+    # NOTE scale bound: the exists() probe is pairwise — O(M²) in
+    # mentions per SECTION (JVM codegen comparisons: ~10 s at 10^5
+    # mentions in one section, fine at the corpus' real section
+    # sizes).  The python engine (patterns.scan_text) is the
+    # O(M log M) path for link-farm-shaped rows.
     claimed = None
     for pname in names:
         arr = wa[pname]

@@ -93,3 +93,19 @@ def test_similarity_survives_zero_and_nan_vectors(spark):
     )
     byid = {r["vec_id"]: r["c"] for r in cos}
     assert byid[0] is None and byid[1] == 1.0  # zero-norm -> NULL, not error
+
+
+def test_scan_text_linear_on_mention_farms():
+    """A page made of 20k citations scans in well under a second —
+    the claimed-span check is O(M log M), not the O(M²) that would
+    wedge an executor on real link-farm pages."""
+    import time
+
+    from ferenda_spark.functions.patterns import scan_text
+
+    text = "Section 1.2 " * 20_000
+    t0 = time.time()
+    got = scan_text(text)
+    elapsed = time.time() - t0
+    assert len(got) == 20_000
+    assert elapsed < 2.0, f"quadratic masking regression: {elapsed:.1f}s"
