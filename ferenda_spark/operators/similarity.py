@@ -81,6 +81,12 @@ def brute_force_topk(
     qrows = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
     ).collect()
+    if not qrows:
+        # an empty probe set has an empty answer, not an np.stack
+        # error on the driver
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long"
+        )
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
     qnorm = np.linalg.norm(qmat, axis=1)

@@ -109,3 +109,38 @@ def test_scan_text_linear_on_mention_farms():
     elapsed = time.time() - t0
     assert len(got) == 20_000
     assert elapsed < 2.0, f"quadratic masking regression: {elapsed:.1f}s"
+
+
+def test_empty_inputs_everywhere(spark):
+    """Empty tables are answers, not errors: the full KG build, the
+    training ops, both similarity paths (either side empty), and a
+    SPARQL query over an empty store all return empty results."""
+    from ferenda_spark import PipelineConfig
+    from ferenda_spark.operators import similarity as S
+    from ferenda_spark.operators.sparql import run_sparql
+    from ferenda_spark.pipeline import build_kg
+
+    pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    assert build_kg(spark, pages, PipelineConfig()).triples.count() == 0
+
+    docs = spark.createDataFrame([], "id long, url string, text string")
+    assert textstats.token_count(docs, "text", "id").count() == 0
+    assert curation.sequence_pack_plan(docs, "text", "id").count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert S.brute_force_topk(emb, q, k=3).count() == 0
+    assert S.brute_force_topk(q, emb, k=3).count() == 0  # empty probes
+    assert S.threshold_pairs_blocked(emb, 0.5).count() == 0
+
+    t = spark.createDataFrame(
+        [], "subj string, pred string, obj string, obj_is_uri boolean, "
+            "lang string, datatype string"
+    )
+    assert run_sparql(
+        t, "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?x . } }"
+    ).count() == 0
