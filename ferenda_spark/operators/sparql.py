@@ -286,7 +286,23 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             pass
         elif u == "STRSTARTS":
             out.append("startswith")
-        elif u in ("ISURI", "ISIRI", "LANG", "DATATYPE"):
+        elif u == "STRENDS":
+            out.append("endswith")
+        elif u == "CONTAINS":
+            out.append("contains")
+        elif u == "BOUND":
+            # BOUND(?x) -> x IS NOT NULL (OPTIONAL leaves NULLs)
+            if not (
+                i + 3 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ")"
+            ):
+                raise SparqlSyntaxError("BOUND() takes one variable")
+            out.append(f"({toks[i + 2][1:]} IS NOT NULL)")
+            i += 4
+            continue
+        elif u in ("ISURI", "ISIRI", "ISLITERAL", "LANG", "DATATYPE"):
             if not (
                 i + 3 < n
                 and toks[i + 1] == "("
@@ -297,6 +313,8 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             v = toks[i + 2][1:]
             if u in ("ISURI", "ISIRI"):
                 out.append(f"coalesce(_isuri_{v}, false)")
+            elif u == "ISLITERAL":
+                out.append(f"(NOT coalesce(_isuri_{v}, false))")
             elif u == "LANG":
                 # SPARQL lang() is "" for plain literals
                 out.append(f"coalesce(_lang_{v}, '')")

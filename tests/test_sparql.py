@@ -601,3 +601,37 @@ def test_optional_with_filter_and_numeric_compare(spark):
     assert {tuple(r) for r in got} == {
         ("d1", None), ("d2", "10"), ("d3", None)
     }
+
+
+def test_bound_isliteral_strends_contains(spark, g):
+    """The remaining common FILTER functions: BOUND over OPTIONAL
+    NULLs, isLiteral via the uri metadata, STRENDS/CONTAINS mapped
+    to the native string predicates."""
+    # docs WITHOUT a publisher: BOUND is false on the OPTIONAL var
+    got = run_sparql(
+        g,
+        """SELECT ?doc WHERE {
+             ?doc <type> <Doc> .
+             OPTIONAL { ?doc <publisher> ?pub . }
+             FILTER(!BOUND(?pub))
+           }""",
+    ).collect()
+    assert [r["doc"] for r in got] == ["d2"]
+    # isLiteral: titles yes, publishers no
+    assert run_sparql(
+        g, "SELECT ?o WHERE { ?s <title> ?o . FILTER(isLiteral(?o)) }"
+    ).count() == 3
+    assert run_sparql(
+        g, "SELECT ?o WHERE { ?s <publisher> ?o . FILTER(isLiteral(?o)) }"
+    ).count() == 0
+    # STRENDS / CONTAINS
+    got = run_sparql(
+        g,
+        'SELECT ?t WHERE { ?s <title> ?t . FILTER(STRENDS(STR(?t), "pha")) }',
+    ).collect()
+    assert [r["t"] for r in got] == ["Alpha"]
+    got = run_sparql(
+        g,
+        'SELECT ?t WHERE { ?s <title> ?t . FILTER(CONTAINS(STR(?t), "et")) }',
+    ).collect()
+    assert [r["t"] for r in got] == ["Beta"]
