@@ -12,8 +12,9 @@ query text runs against the Spark triples table:
   / CONSTRUCT { template } · FROM <g> dataset clauses · basic graph
   patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
   { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
-  comparisons, && || !, ?x IN (...), STR(), STRSTARTS(),
-  isUri()/isIRI()/lang()/datatype() · VALUES ?v { ... } (an
+  comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
+  CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype()
+  · VALUES ?v { ... } (an
   isin() filter, pushed into the pattern scans) · property paths
   pred+ / pred* / pred{m,n}
   (bounded; see graphquery) · MINUS / FILTER NOT EXISTS
