@@ -18,7 +18,12 @@ query text runs against the Spark triples table:
   isin() filter, pushed into the pattern scans) · property paths
   pred+ / pred* / pred{m,n}
   (bounded; see graphquery) · MINUS / FILTER NOT EXISTS
-  (compiled to a LEFT ANTI join on shared variables) ·
+  (a LEFT ANTI join on shared variables; with disjoint domains the
+  two forms get their exact divergent spec semantics — MINUS keeps
+  everything, NOT EXISTS is an all-or-nothing probe) ·
+  UNION branches that skip a join variable (exact compatible-merge:
+  per-branch equi-joins, NULL-signature split for per-row unbound
+  join vars — see _compat_join) ·
   ORDER BY [ASC|DESC] / LIMIT / OFFSET
   (compiled to the top-(offset+limit) TakeOrderedAndProject plan,
   never a global sort)
@@ -113,6 +118,7 @@ def _empty_group() -> dict:
         "graphs": [],
         "minus": [],
         "values": [],
+        "subgroups": [],
     }
 
 
@@ -143,8 +149,16 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
                 sub, i = _parse_group(toks, i + 2, prefixes)
                 alts.append(sub)
             if len(alts) < 2:
-                # a bare nested group is just inlined
-                _inline(g, alts[0])
+                # a bare nested group: inlining is sound only when the
+                # group carries nothing scope-sensitive — OPTIONAL and
+                # FILTER (and anything built on them) scope to their
+                # enclosing group (spec §18.2.2), so hoisting them
+                # would left-join/filter against the OUTER solutions
+                sub = alts[0]
+                if any(sub[k] for k in sub if k not in ("patterns", "values")):
+                    g["subgroups"].append(sub)
+                else:
+                    _inline(g, sub)
             else:
                 g["unions"].append(alts)
             continue
@@ -204,7 +218,7 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             if toks[i + 1] != "{":
                 raise SparqlSyntaxError("MINUS must be followed by '{'")
             sub, i = _parse_group(toks, i + 2, prefixes)
-            g["minus"].append(sub)
+            g["minus"].append(("minus", sub))
             continue
         if (
             t.upper() == "FILTER"
@@ -214,10 +228,11 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             and toks[i + 3] == "{"
         ):
             # FILTER NOT EXISTS { ... }: same anti-join compile as
-            # MINUS (they differ in SPARQL only for solutions sharing
-            # no variables, which the compiler refuses anyway)
+            # MINUS when variables are shared; tagged because the two
+            # diverge for solutions sharing NO variable (spec §8.3.3
+            # vs §8.1.1) and the compiler implements both exactly
             sub, i = _parse_group(toks, i + 4, prefixes)
-            g["minus"].append(sub)
+            g["minus"].append(("not_exists", sub))
             continue
         if t.upper() == "FILTER":
             if toks[i + 1] != "(":
@@ -473,12 +488,115 @@ def _parse_toks(toks: list[str]) -> dict:
     return out
 
 
-def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame:
-    """Group graph pattern -> solutions DataFrame (with term-metadata
-    companion columns, for CONSTRUCT)."""
+#: hidden term-metadata column prefixes (mirrors graphquery._META)
+_META = ("_isuri_", "_lang_", "_dt_")
+
+#: cap on the NULL-signature split in _compat_join: 2^(maybe-null
+#: shared vars on the left) × 2^(on the right) equi-join pieces; past
+#: this the query is pathological and we refuse rather than explode
+#: the plan
+_COMPAT_MAX_PIECES = 16
+
+
+def _compat_join(left: DataFrame, lnull: set, right: DataFrame, rnull: set):
+    """Inner join of two solution sets under SPARQL compatible-merge
+    semantics (spec §18.5 Join): two mappings merge when they agree
+    on every variable bound in BOTH; a variable unbound (NULL) on one
+    side takes the other side's binding.
+
+    Compiled as pure equi-joins, never a theta-join: shared variables
+    that are statically always-bound join directly; each shared
+    variable that MAY be per-row unbound (from an OPTIONAL or a UNION
+    branch that skipped it) splits its side by IS NULL, and every
+    (left-piece, right-piece) pair equi-joins on the variables bound
+    in both pieces — 2^k pieces for k maybe-null shared vars (k is
+    0 for every reference-corpus query, so this costs nothing on the
+    common path).  The split keys the join on runtime NULL-ness, so
+    it is exact even when a branch binds a variable only for some
+    rows."""
+    shared = sorted(_visible(left) & _visible(right))
+    ln = [v for v in shared if v in lnull]
+    rn = [v for v in shared if v in rnull]
+    if not ln and not rn:
+        return _join(left, right)
+    if (1 << len(ln)) * (1 << len(rn)) > _COMPAT_MAX_PIECES:
+        raise SparqlSyntaxError(
+            f"compatible-merge over {len(ln) + len(rn)} maybe-unbound "
+            "shared variables exceeds the plan-size cap — bind them "
+            "in every branch"
+        )
     from pyspark.sql import functions as F
 
-    df = None
+    pieces = []
+    for lmask in range(1 << len(ln)):
+        lnulls = {v for k, v in enumerate(ln) if lmask >> k & 1}
+        lpart = left
+        for v in ln:
+            lpart = lpart.filter(
+                F.col(v).isNull() if v in lnulls else F.col(v).isNotNull()
+            )
+        for rmask in range(1 << len(rn)):
+            rnulls = {v for k, v in enumerate(rn) if rmask >> k & 1}
+            rpart = right
+            for v in rn:
+                rpart = rpart.filter(
+                    F.col(v).isNull() if v in rnulls else F.col(v).isNotNull()
+                )
+            # a var unbound on one side takes the other side's
+            # binding: drop the all-NULL copy (and its metadata) so
+            # _join keeps the bound one; unbound on both keeps
+            # left's NULL column
+            ldrop = [v for v in lnulls if v not in rnulls]
+            rdrop = sorted(rnulls)
+            lp = lpart.drop(*ldrop, *[f"{m}{v}" for v in ldrop for m in _META])
+            rp = rpart.drop(*rdrop, *[f"{m}{v}" for v in rdrop for m in _META])
+            pieces.append(_join(lp, rp))
+    out = pieces[0]
+    for p_ in pieces[1:]:
+        out = out.unionByName(p_, allowMissingColumns=True)
+    return out
+
+
+def _joined_nulls(
+    left: DataFrame, lnull: set, right: DataFrame, rnull: set
+) -> tuple[DataFrame, set]:
+    """Compat-join two groups and propagate the maybe-unbound set: a
+    variable stays maybe-unbound only if no side binds it surely —
+    maybe-null on both, or visible on just one side and maybe-null
+    there (the join/merge fills it from the sure side otherwise)."""
+    out = _compat_join(left, lnull, right, rnull)
+    lvis, rvis = _visible(left), _visible(right)
+    return out, (lnull & rnull) | (lnull - rvis) | (rnull - lvis)
+
+
+def _merge_nulls(left: tuple, parts: list) -> set:
+    """Maybe-unbound set of Union(Join(P,B1)..Join(P,Bn)) given
+    (visible, nulls) of P and of each branch: per-branch join nulls
+    (same rule as _joined_nulls), plus any variable missing from some
+    branch-join entirely (unionByName fills it with NULL)."""
+    lvis, lnull = left
+    outs = []
+    for pvis, pnull in parts:
+        vis = lvis | pvis
+        nul = (lnull & pnull) | (lnull - pvis) | (pnull - lvis)
+        outs.append((vis, nul))
+    allvis = set().union(*(v for v, _ in outs))
+    return set().union(*(n for _, n in outs)) | {
+        v for v in allvis if any(v not in vis for vis, _ in outs)
+    }
+
+
+def _compile_group(
+    triples: DataFrame, g: dict, max_path_hops: int
+) -> tuple[DataFrame, set]:
+    """Group graph pattern -> (solutions DataFrame, maybe-unbound
+    variable names).  The DataFrame carries term-metadata companion
+    columns for CONSTRUCT; the set tracks which visible variables can
+    be NULL per-row (bound under OPTIONAL, or skipped by a UNION
+    branch) so joins onto this group use exact compatible-merge."""
+    from pyspark.sql import functions as F
+
+    df, nulls = None, set()
     if g["patterns"]:
         df = _fold_patterns(triples, g["patterns"], max_path_hops)
     for gterm, sub in g["graphs"]:
@@ -491,61 +609,99 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
             if "graph" in triples.columns
             else triples
         )
-        sdf = _compile_group(scoped, sub, max_path_hops)
-        df = sdf if df is None else _join(df, sdf)
+        sdf, snull = _compile_group(scoped, sub, max_path_hops)
+        if df is None:
+            df, nulls = sdf, snull
+        else:
+            df, nulls = _joined_nulls(df, nulls, sdf, snull)
+    for sub in g["subgroups"]:
+        # a bare nested group whose contents are scope-sensitive
+        # (e.g. it contains an OPTIONAL): evaluated to its own
+        # solution set first, then joined outward compatibly —
+        # Join(P, LeftJoin(...)), the spec's algebra, not a hoist
+        sdf, snull = _compile_group(triples, sub, max_path_hops)
+        if df is None:
+            df, nulls = sdf, snull
+        else:
+            df, nulls = _joined_nulls(df, nulls, sdf, snull)
     for alts in g["unions"]:
         parts = [_compile_group(triples, a, max_path_hops) for a in alts]
-        u = parts[0]
-        for p_ in parts[1:]:
-            u = u.unionByName(p_, allowMissingColumns=True)
-        if df is not None:
-            # joining a UNION onto prior patterns equi-joins on the
-            # shared variables; a branch that does not bind one would
-            # silently drop its solutions (NULL join key), where
-            # SPARQL's compatible-merge would keep them — raise
-            # loudly instead of answering wrong (no reference query
-            # needs the general case)
-            shared = _visible(df) & _visible(u)
-            for part in parts:
-                missing = shared - _visible(part)
-                if missing:
-                    raise SparqlSyntaxError(
-                        "UNION branch does not bind join variable(s) "
-                        f"{sorted(missing)}; compatible-merge join is "
-                        "not supported — bind them in every branch"
-                    )
-        df = u if df is None else _join(df, u)
+        # union-side maybe-unbound vars: unbound in some branch, or
+        # maybe-unbound within one
+        uvis = set().union(*(_visible(p) for p, _ in parts))
+        unull = set().union(*(n for _, n in parts)) | {
+            v for v in uvis if any(v not in _visible(p) for p, _ in parts)
+        }
+        if df is None:
+            u = parts[0][0]
+            for p_, _ in parts[1:]:
+                u = u.unionByName(p_, allowMissingColumns=True)
+            df, nulls = u, unull
+        else:
+            # Join(P, Union(B1..Bn)) = Union(Join(P,B1)..Join(P,Bn)):
+            # each branch equi-joins onto the prior solutions on the
+            # variables IT binds — SPARQL compatible-merge, branch by
+            # branch, still nothing but equi-joins
+            joined = [
+                _compat_join(df, nulls, p_, n_) for p_, n_ in parts
+            ]
+            u = joined[0]
+            for j in joined[1:]:
+                u = u.unionByName(j, allowMissingColumns=True)
+            df, nulls = u, _merge_nulls(
+                (_visible(df), nulls), [(_visible(p), n) for p, n in parts]
+            )
     for opt in g["optionals"]:
         # parser emits full sub-groups (patterns + group-scoped
-        # filters); compile recursively, then left-join
-        gdf = _compile_group(triples, opt, max_path_hops)
-        df = gdf if df is None else _join(df, gdf, "left")
+        # filters); compile recursively, then left-join.  Variables
+        # introduced by the OPTIONAL side become maybe-unbound.
+        gdf, gnull = _compile_group(triples, opt, max_path_hops)
+        if df is None:
+            df, nulls = gdf, gnull
+        else:
+            new_vars = _visible(gdf) - _visible(df)
+            df = _join(df, gdf, "left")
+            nulls |= new_vars | (gnull & _visible(df))
     if df is None:
         raise SparqlSyntaxError("empty WHERE group")
     for src, dst in g["binds"]:
         df = df.withColumn(dst, F.col(src))
+        if src in nulls:
+            nulls.add(dst)
         for m in ("_isuri_", "_lang_", "_dt_"):
             if f"{m}{src}" in df.columns:
                 df = df.withColumn(f"{m}{dst}", F.col(f"{m}{src}"))
-    for sub in g["minus"]:
+    for kind, sub in g["minus"]:
         # negation compiles to a LEFT ANTI join on the shared
         # variables — the engine's native anti-join (J8), one
         # shuffle, AQE-broadcast when the negated side is small.
-        # Solutions sharing NO variable with the negated group are
-        # where MINUS (keep) and NOT EXISTS (drop on any match)
-        # diverge; neither is an equi-join, so refuse loudly.
-        mdf = _compile_group(triples, sub, max_path_hops)
+        # Solutions sharing NO variable are where the two forms
+        # diverge (spec §8.3.3): MINUS removes nothing (no domain
+        # overlap -> no compatible pair counts), NOT EXISTS drops
+        # every solution iff the group matches at all.
+        mdf, _ = _compile_group(triples, sub, max_path_hops)
         shared = sorted(_visible(df) & _visible(mdf))
-        if not shared:
-            raise SparqlSyntaxError(
-                "MINUS/NOT EXISTS group shares no variable with the "
-                "outer pattern — unsupported (not an equi-anti-join)"
-            )
-        df = df.join(mdf.select(*shared).distinct(), shared, "left_anti")
+        if shared:
+            df = df.join(mdf.select(*shared).distinct(), shared, "left_anti")
+        elif kind == "not_exists":
+            # all-or-nothing, kept lazy/distributed: a 1-row probe of
+            # the group; anti-join on an always-true condition keeps
+            # the input iff the probe is empty
+            probe = mdf.limit(1).select(F.lit(1).alias("_e"))
+            df = df.join(probe, F.lit(True), "left_anti")
+        # else: MINUS with disjoint domains is the identity
     for var, vals in g["values"]:
         if var not in df.columns:
             raise SparqlSyntaxError(
                 f"VALUES variable ?{var} is not bound by the group"
+            )
+        if var in nulls:
+            # exact semantics would join the inline table compatibly,
+            # multiplying each unbound-row by every value — refuse
+            # rather than silently dropping (isin) or exploding
+            raise SparqlSyntaxError(
+                f"VALUES over maybe-unbound variable ?{var} is not "
+                "supported — bind it unconditionally first"
             )
         df = df.filter(F.col(var).isin(vals))
     for f in g["filters"]:
@@ -561,7 +717,7 @@ def _compile_group(triples: DataFrame, g: dict, max_path_hops: int) -> DataFrame
                     else F.lit(None).cast("string"),
                 )
         df = df.filter(F.expr(f))
-    return df
+    return df, nulls
 
 
 def run_sparql(
@@ -579,7 +735,7 @@ def run_sparql(
 
     if q["from_graphs"] and "graph" in triples.columns:
         triples = triples.filter(F.col("graph").isin(q["from_graphs"]))
-    sols = _compile_group(triples, q["where"], max_path_hops)
+    sols, _ = _compile_group(triples, q["where"], max_path_hops)
 
     if q["form"] == "SELECT":
         vars_ = q["select_vars"] or sorted(

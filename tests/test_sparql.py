@@ -529,12 +529,24 @@ def test_minus_and_not_exists(spark, g):
     with redirect_stdout(buf):
         out.explain()
     assert "LeftAnti" in buf.getvalue()
-    # a negated group sharing no variable is refused, not mis-joined
-    with pytest.raises(SparqlSyntaxError, match="shares no variable"):
-        run_sparql(
-            g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
-               "MINUS { ?other <title> ?t . } }"
-        ).collect()
+    # negation sharing no variable: the two forms diverge (spec
+    # §8.3.3) and both get their exact semantics — MINUS removes
+    # nothing (no domain overlap), NOT EXISTS is all-or-nothing
+    got = run_sparql(
+        g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
+           "MINUS { ?other <title> ?t . } }"
+    ).collect()
+    assert sorted(r["doc"] for r in got) == ["d1", "d2"]
+    got = run_sparql(
+        g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
+           "FILTER NOT EXISTS { ?other <title> ?t . } }"
+    ).collect()
+    assert got == []  # some title exists -> every solution drops
+    got = run_sparql(
+        g, "SELECT ?doc WHERE { ?doc <type> <Doc> . "
+           "FILTER NOT EXISTS { ?other <nosuchpred> ?t . } }"
+    ).collect()
+    assert sorted(r["doc"] for r in got) == ["d1", "d2"]
 
 
 def test_values_lang_datatype(spark, g):

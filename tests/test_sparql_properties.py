@@ -366,20 +366,97 @@ def test_run_sparql_matches_naive_evaluator(spark, seed):
     assert got == want, text
 
 
-def test_union_branch_missing_join_var_raises(spark):
-    """A UNION branch that does not bind the shared variable would
-    silently lose solutions under equi-join semantics — the engine
-    must refuse it instead."""
-    g = spark.createDataFrame(
-        [("a", EX + "p0", "b", True, None, None)], SCHEMA
-    )
+def test_union_branch_missing_join_var_compat_merge(spark):
+    """A UNION branch that does not bind the shared variable merges
+    compatibly (spec §18.5): its solutions keep the outer binding
+    instead of being dropped on a NULL join key."""
+    rows = [
+        ("a", EX + "p0", "b", True, None, None),
+        ("a", EX + "p1", "z1", False, None, None),
+        ("q9", EX + "p2", "z2", False, None, None),
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
     q = (
         "PREFIX ex: <" + EX + "> SELECT * WHERE { "
         "?x ex:p0 ?y . "
         "{ ?x ex:p1 ?z . } UNION { ?q ex:p2 ?z . } }"
     )
-    with pytest.raises(SparqlSyntaxError, match="UNION branch"):
-        run_sparql(g, q).collect()
+    got = {
+        tuple(r) for r in run_sparql(g, q).select("q", "x", "y", "z").collect()
+    }
+    assert got == {
+        (None, "a", "b", "z1"),   # branch 1 equi-joins on ?x
+        ("q9", "a", "b", "z2"),   # branch 2 compat-merges (?x from outer)
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_union_compat_merge_matches_naive(spark, seed):
+    """Randomized compatible-merge: branches may bind the anchor, a
+    fresh var, or both; the naive evaluator is the spec definition."""
+    rnd = random.Random(9000 + seed)
+    triples, mains, _, _, _ = _gen_full_case(rnd)
+    main_vars = sorted(
+        {t[1:] for pat in mains for t in pat if t.startswith("?")}
+    )
+    if not main_vars:
+        mains.append(("?v0", EX + "p0", "?v1"))
+        main_vars = ["v0", "v1"]
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    anchor = "?" + rnd.choice(main_vars)
+
+    def branch():
+        # subject is the anchor, a fresh unshared var, or a constant
+        subj = rnd.choice([anchor, "?u0", rnd.choice(nodes)])
+        return [(subj, rnd.choice(preds), rnd.choice(nodes + ["?z0"]))]
+
+    unions = [[branch(), branch()]]
+    text = _render_full(mains, [], unions, [], rnd)
+    g = spark.createDataFrame(
+        [(s, p, o, o.startswith("http://"), None, None) for s, p, o in triples],
+        SCHEMA,
+    )
+    got_df = run_sparql(g, text)
+    vars_ = sorted(got_df.columns)
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+    want = {
+        tuple(sol.get(v) for v in vars_)
+        for sol in _naive_query(triples, mains, [], unions, [])
+    }
+    assert got == want, text
+
+
+def test_group_scoped_optional_compat_merge(spark):
+    """OPTIONAL scopes to its enclosing group (spec §18.2.2): in
+    ?d p2 ?w . { ?s p0 ?t OPTIONAL { ?s p1 ?w } } the LeftJoin runs
+    inside the group, THEN the group joins outward compatibly — a
+    row where the group left ?w unbound merges with EVERY outer ?w
+    (per-row NULL-signature split), not hoisted into an outer-scoped
+    left join."""
+    rows = [
+        (EX + "n1", EX + "p0", EX + "n2", True, None, None),
+        (EX + "n1", EX + "p1", EX + "n2", True, None, None),  # opt hits
+        (EX + "n3", EX + "p0", EX + "n4", True, None, None),  # opt misses
+        (EX + "a", EX + "p2", EX + "n2", True, None, None),
+        (EX + "b", EX + "p2", EX + "n9", True, None, None),
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    q = (
+        "PREFIX ex: <" + EX + "> SELECT * WHERE { ?d ex:p2 ?w . "
+        "{ ?s ex:p0 ?t OPTIONAL { ?s ex:p1 ?w } } }"
+    )
+    got = {
+        tuple(r)
+        for r in run_sparql(g, q).select("d", "s", "t", "w").collect()
+    }
+    assert got == {
+        # group row (n1,n2,w=n2) equi-joins outer ?w=n2 (d=a) only;
+        # group row (n3,n4,w unbound) compat-merges with both outers
+        (EX + "a", EX + "n1", EX + "n2", EX + "n2"),
+        (EX + "a", EX + "n3", EX + "n4", EX + "n2"),
+        (EX + "b", EX + "n3", EX + "n4", EX + "n9"),
+    }
 
 
 # ---------------------------------------------------------------
