@@ -26,7 +26,13 @@ query text runs against the Spark triples table:
   join vars — see _compat_join) ·
   ORDER BY [ASC|DESC] / LIMIT / OFFSET
   (compiled to the top-(offset+limit) TakeOrderedAndProject plan,
-  never a global sort)
+  never a global sort) ·
+  GROUP BY ?v... with projected aggregates (AGG(...) AS ?alias) —
+  COUNT([DISTINCT] ?v|*), SUM/AVG (TRY_CAST numeric), MIN/MAX
+  (engine term order), SAMPLE (deterministic min),
+  GROUP_CONCAT(?v; SEPARATOR="s") (sorted members) — and HAVING over
+  aggregate expressions (compiled to hidden agg columns + a
+  post-aggregation filter; one shuffle, map-side partial agg)
 
 This is the COMPLETE construct inventory of the reference's shipped
 query corpus (every .rq under /root/reference — annotations.rq,
@@ -65,7 +71,7 @@ _TOKEN_RE = re.compile(
     | "(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?   # literal (+tag)
     | \?[A-Za-z_]\w*                            # variable
     | [A-Za-z_][\w-]*:[\w.-]*[*+]?              # prefixed name (+path mod)
-    | [A-Za-z]+                                 # bare keyword / 'a'
+    | [A-Za-z_][A-Za-z0-9_]*                    # bare keyword / 'a'
     | \d+(?:\.\d+)?                             # number
     | [{}().;,]                                 # punctuation
     | [*+]                                      # standalone path modifier
@@ -280,6 +286,69 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
 
 _FILTER_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "="}
 
+#: aggregate keyword -> handled by _parse_agg / _agg_sql
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+
+def _parse_agg(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
+    """Parse an aggregate call starting at toks[i] (the function
+    keyword): ``FUNC([DISTINCT] ?v|*[; SEPARATOR="s"])``.  Returns
+    ({func, var, distinct, sep}, next index)."""
+    func = toks[i].upper()
+    if func not in _AGG_FUNCS:
+        raise SparqlSyntaxError(f"unknown aggregate {toks[i]!r}")
+    if toks[i + 1] != "(":
+        raise SparqlSyntaxError(f"{func} needs '('")
+    i += 2
+    distinct = False
+    if toks[i].upper() == "DISTINCT":
+        distinct, i = True, i + 1
+    var = None
+    if toks[i] == "*":
+        if func != "COUNT":
+            raise SparqlSyntaxError(f"{func}(*) is not valid SPARQL")
+        i += 1
+    elif toks[i].startswith("?"):
+        var = toks[i][1:]
+        i += 1
+    else:
+        raise SparqlSyntaxError(f"{func}() takes ?var" + ("" if func != "COUNT" else " or *"))
+    sep = " "
+    if toks[i] == ";":
+        if toks[i + 1].upper() != "SEPARATOR" or toks[i + 2] != "=":
+            raise SparqlSyntaxError("expected SEPARATOR=\"...\" after ';'")
+        if func != "GROUP_CONCAT" or not toks[i + 3].startswith('"'):
+            raise SparqlSyntaxError("SEPARATOR is only valid in GROUP_CONCAT")
+        sep = _resolve(toks[i + 3], prefixes)
+        i += 4
+    if toks[i] != ")":
+        raise SparqlSyntaxError(f"unclosed {func}(...)")
+    return {"func": func, "var": var, "distinct": distinct, "sep": sep}, i + 1
+
+
+def _agg_sql(a: dict) -> str:
+    """Aggregate spec -> Spark SQL aggregate expression over the
+    solution columns.  Numeric aggregates (SUM/AVG) TRY_CAST the
+    lexical term to DOUBLE — a non-numeric member becomes NULL and is
+    ignored, the same relational reading of SPARQL's type-error rule
+    as _numeric_casts.  MIN/MAX order terms lexically (the engine's
+    term ordering, same as ORDER BY).  SAMPLE picks the minimum —
+    the spec allows any member; a deterministic choice keeps query
+    results reproducible.  GROUP_CONCAT sorts members before joining
+    for the same reason."""
+    func, v, d = a["func"], a["var"], "DISTINCT " if a["distinct"] else ""
+    if func == "COUNT":
+        return f"count({d}{v})" if v else "count(1)"
+    if func in ("SUM", "AVG"):
+        return f"{func.lower()}({d}TRY_CAST({v} AS DOUBLE))"
+    if func in ("MIN", "MAX"):
+        return f"{func.lower()}({v})"
+    if func == "SAMPLE":
+        return f"min({v})"
+    sep = a["sep"].replace("'", "''")
+    coll = "collect_set" if a["distinct"] else "collect_list"
+    return f"array_join(sort_array({coll}({v})), '{sep}')"
+
 
 def _filter_sql(toks: list[str], prefixes: dict) -> str:
     """FILTER tokens -> Spark SQL boolean expression over variable
@@ -424,21 +493,46 @@ def _parse_toks(toks: list[str]) -> dict:
         "template": [],
         "count": False,
         "from_graphs": [],
+        "aggs": [],
+        "proj": [],
+        "group_by": [],
+        "having": None,
+        "having_aggs": [],
     }
     if form == "SELECT":
         if toks[i].upper() == "DISTINCT":
             i += 1  # solutions are projected with set semantics anyway
         if toks[i].upper() == "COUNT":
-            # SELECT COUNT(*): the reference's store-size query
+            # bare SELECT COUNT(*): the reference's store-size query
             # (triplestore.py triple_count, FusekiStore)
             if toks[i + 1 : i + 4] != ["(", "*", ")"]:
-                raise SparqlSyntaxError("only COUNT(*) supported")
+                raise SparqlSyntaxError(
+                    "aggregates other than bare COUNT(*) need "
+                    "(AGG(...) AS ?alias)"
+                )
             out["count"] = True
             i += 4
-        while toks[i].startswith("?") or toks[i] == "*":
-            if toks[i] != "*":
-                out["select_vars"].append(toks[i][1:])
-            i += 1
+        while i < len(toks):
+            t = toks[i]
+            if t.startswith("?"):
+                out["select_vars"].append(t[1:])
+                out["proj"].append(t[1:])
+                i += 1
+            elif t == "*":
+                i += 1
+            elif t == "(":
+                # projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
+                agg, i = _parse_agg(toks, i + 1, prefixes)
+                if toks[i].upper() != "AS" or not toks[i + 1].startswith("?"):
+                    raise SparqlSyntaxError("aggregate needs AS ?alias")
+                agg["alias"] = toks[i + 1][1:]
+                if toks[i + 2] != ")":
+                    raise SparqlSyntaxError("unclosed (AGG(...) AS ?alias)")
+                out["aggs"].append(agg)
+                out["proj"].append(agg["alias"])
+                i += 3
+            else:
+                break
         # FROM <g> dataset clauses (documentrepository.facet_query
         # emits one); scoped like GRAPH — a filter on the `graph`
         # column for multi-graph tables, identity otherwise
@@ -477,6 +571,44 @@ def _parse_toks(toks: list[str]) -> dict:
                     break
             if not out["order_by"]:
                 raise SparqlSyntaxError("empty ORDER BY")
+        elif kw == "GROUP" and i + 1 < len(toks) and toks[i + 1].upper() == "BY":
+            i += 2
+            while i < len(toks) and toks[i].startswith("?"):
+                out["group_by"].append(toks[i][1:])
+                i += 1
+            if not out["group_by"]:
+                raise SparqlSyntaxError("empty GROUP BY")
+        elif kw == "HAVING":
+            if i + 1 >= len(toks) or toks[i + 1] != "(":
+                raise SparqlSyntaxError("HAVING needs '( ... )'")
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlSyntaxError("unbalanced HAVING parens")
+            inner = toks[i + 2 : j - 1]
+            # rewrite aggregate calls to hidden agg columns, then
+            # reuse the FILTER-expression translation
+            rewritten, k = [], 0
+            while k < len(inner):
+                if (
+                    inner[k].upper() in _AGG_FUNCS
+                    and k + 1 < len(inner)
+                    and inner[k + 1] == "("
+                ):
+                    agg, k = _parse_agg(inner, k, prefixes)
+                    agg["alias"] = f"_h{len(out['having_aggs'])}"
+                    out["having_aggs"].append(agg)
+                    rewritten.append("?" + agg["alias"])
+                else:
+                    rewritten.append(inner[k])
+                    k += 1
+            out["having"] = _filter_sql(rewritten, prefixes)
+            i = j
         elif kw == "LIMIT":
             out["limit"] = int(toks[i + 1])
             i += 2
@@ -485,6 +617,23 @@ def _parse_toks(toks: list[str]) -> dict:
             i += 2
         else:
             raise SparqlSyntaxError(f"unexpected trailing token {toks[i]!r}")
+    # an aggregated SELECT (spec §18.2.4 Grouping): every plainly
+    # projected variable must be a grouping key, and HAVING is only
+    # meaningful over groups
+    if out["aggs"] or out["group_by"] or out["having"] is not None:
+        ungrouped = [v for v in out["select_vars"] if v not in out["group_by"]]
+        if ungrouped:
+            raise SparqlSyntaxError(
+                f"variable(s) {ungrouped} are projected but neither "
+                "aggregated nor in GROUP BY"
+            )
+        if out["count"]:
+            raise SparqlSyntaxError(
+                "bare COUNT(*) cannot be combined with GROUP BY — "
+                "use (COUNT(*) AS ?alias)"
+            )
+        if not out["proj"]:
+            raise SparqlSyntaxError("aggregated SELECT projects nothing")
     return out
 
 
@@ -738,24 +887,50 @@ def run_sparql(
     sols, _ = _compile_group(triples, q["where"], max_path_hops)
 
     if q["form"] == "SELECT":
-        vars_ = q["select_vars"] or sorted(
-            c for c in sols.columns
-            if not c.startswith(("_isuri_", "_lang_", "_dt_")) and c != "_ground"
-        )
-        # SPARQL projects unbound variables as NULL (the reference's
-        # sfs_forfattningskommentar.rq selects a ?desc no pattern
-        # binds); Spark would reject the missing column instead
-        for v in vars_:
-            if v not in sols.columns:
-                sols = sols.withColumn(v, F.lit(None).cast("string"))
-        if q["count"]:
-            # solutions over a triple SET: bag COUNT(*) == set count
-            return (
-                sols.select(*vars_)
-                .distinct()
-                .agg(F.count(F.lit(1)).alias("count"))
+        if q["aggs"] or q["group_by"] or q["having"] is not None:
+            # grouped/aggregated SELECT: aggregate over the DISTINCT
+            # visible solutions (set semantics, consistent with bare
+            # COUNT(*) below), map-side partial aggregation for free
+            all_aggs = q["aggs"] + q["having_aggs"]
+            needed = set(q["group_by"]) | {
+                a["var"] for a in all_aggs if a["var"]
+            }
+            for v in sorted(needed):
+                if v not in sols.columns:
+                    sols = sols.withColumn(v, F.lit(None).cast("string"))
+            base = sols.select(*sorted(_visible(sols))).distinct()
+            exprs = [
+                F.expr(_agg_sql(a)).alias(a["alias"]) for a in all_aggs
+            ]
+            if exprs:
+                out = base.groupBy(*q["group_by"]).agg(*exprs)
+            else:  # GROUP BY with no aggregates: just the keys
+                out = base.select(*q["group_by"]).distinct()
+            if q["having"] is not None:
+                out = out.filter(F.expr(q["having"]))
+            vars_ = q["proj"]
+            out = out.select(*vars_)
+        else:
+            vars_ = q["select_vars"] or sorted(
+                c for c in sols.columns
+                if not c.startswith(("_isuri_", "_lang_", "_dt_"))
+                and c != "_ground"
             )
-        out = sols.select(*vars_).distinct()
+            # SPARQL projects unbound variables as NULL (the
+            # reference's sfs_forfattningskommentar.rq selects a
+            # ?desc no pattern binds); Spark would reject the missing
+            # column instead
+            for v in vars_:
+                if v not in sols.columns:
+                    sols = sols.withColumn(v, F.lit(None).cast("string"))
+            if q["count"]:
+                # solutions over a triple SET: bag COUNT(*) == count
+                return (
+                    sols.select(*vars_)
+                    .distinct()
+                    .agg(F.count(F.lit(1)).alias("count"))
+                )
+            out = sols.select(*vars_).distinct()
         if q["order_by"]:
             cols = [
                 F.col(v).desc() if d else F.col(v).asc()

@@ -1773,6 +1773,37 @@ WHERE p.pred = 'http://purl.org/dc/terms/isPartOf'
 """
 
 
+def q_kg_sparql_agg(spark, sf_dir):
+    """SPARQL grouped aggregation end-to-end: per-predicate usage
+    stats over the live KG — GROUP BY + projected aggregates
+    (COUNT(*), COUNT(DISTINCT), lexical MIN) and a HAVING filter,
+    compiled to one groupBy shuffle with map-side partial
+    aggregation (the relational restatement of rdflib's aggregate
+    algebra the reference gets via SPARQL 1.1)."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        """
+        SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?o) AS ?objs)
+               (MIN(?o) AS ?first)
+        WHERE { ?s ?p ?o }
+        GROUP BY ?p
+        HAVING (COUNT(*) >= 10)
+        """,
+    )
+
+
+#: solutions are a set (the engine projects DISTINCT), so the twin
+#: dedups (subj,pred,obj) before grouping
+ORACLE_KG_SPARQL_AGG_TMPL = """
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {t})
+SELECT pred AS p, COUNT(*) AS n, COUNT(DISTINCT obj) AS objs,
+       MIN(obj) AS first
+FROM t GROUP BY pred HAVING COUNT(*) >= 10
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2460,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": q_kg_sparql,
         "kg_facets_sparql": q_kg_facets_sparql,
         "kg_sparql_neg": q_kg_sparql_neg,
+        "kg_sparql_agg": q_kg_sparql_agg,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2531,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql": ORACLE_KG_SPARQL_TMPL.format(t=_kg_t("triples")),
         "kg_facets_sparql": ORACLE_KG_FACETS_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_neg": ORACLE_KG_SPARQL_NEG_TMPL.format(t=_kg_t("triples")),
+        "kg_sparql_agg": ORACLE_KG_SPARQL_AGG_TMPL.format(t=_kg_t("triples")),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),

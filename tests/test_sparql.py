@@ -647,3 +647,100 @@ def test_bound_isliteral_strends_contains(spark, g):
         'SELECT ?t WHERE { ?s <title> ?t . FILTER(CONTAINS(STR(?t), "et")) }',
     ).collect()
     assert [r["t"] for r in got] == ["Beta"]
+
+
+def test_group_by_aggregates(spark, g):
+    """GROUP BY with projected aggregates: COUNT, GROUP_CONCAT with
+    an explicit separator, and grouped keys project in SELECT-clause
+    order."""
+    got = run_sparql(
+        g,
+        """SELECT ?o (GROUP_CONCAT(?s; SEPARATOR=",") AS ?subs)
+                     (COUNT(?s) AS ?n)
+           WHERE { ?s <type> ?o } GROUP BY ?o""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("Doc", "d1,d2", 2)]
+    assert got[0].__fields__ == ["o", "subs", "n"]
+    # per-subject triple counts, ordered by the aggregate alias
+    got = run_sparql(
+        g,
+        """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 2""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("d1", 4), ("d1#s1", 3)]
+
+
+def test_global_aggregates(g):
+    """Aggregates without GROUP BY form one implicit group; MIN/MAX
+    use the engine's lexical term order, COUNT DISTINCT dedups,
+    SAMPLE is the deterministic minimum."""
+    got = run_sparql(
+        g,
+        """SELECT (COUNT(DISTINCT ?s) AS ?subs) (MIN(?t) AS ?lo)
+                  (MAX(?t) AS ?hi) (SAMPLE(?t) AS ?pick)
+           WHERE { ?s <title> ?t }""",
+    ).collect()
+    assert [tuple(r) for r in got] == [(3, "Alpha", "Intro", "Alpha")]
+
+
+def test_numeric_aggregates_try_cast(spark):
+    """SUM/AVG cast lexical terms numerically; a non-numeric member
+    becomes NULL and is ignored (the engine's relational reading of
+    SPARQL's type-error rule, same as FILTER comparisons)."""
+    t = spark.createDataFrame(
+        [
+            ("a", "score", "3", False, None, None),
+            ("a", "score", "5", False, None, None),
+            ("a", "score", "oops", False, None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    got = run_sparql(
+        t, "SELECT (SUM(?v) AS ?total) (AVG(?v) AS ?mean) WHERE { ?s <score> ?v }"
+    ).collect()
+    assert [tuple(r) for r in got] == [(8.0, 4.0)]
+
+
+def test_having_over_aggregate(g):
+    """HAVING takes aggregate expressions (compiled to hidden agg
+    columns and filtered after the groupBy)."""
+    got = run_sparql(
+        g,
+        """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY ?s HAVING (COUNT(?o) >= 3) ORDER BY ?s""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("d1", 4), ("d1#s1", 3), ("d2", 3)]
+
+
+def test_group_by_without_aggregates(g):
+    """GROUP BY with a plain projection is just the distinct keys."""
+    got = run_sparql(
+        g, "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p ORDER BY ?p"
+    ).collect()
+    assert [r["p"] for r in got] == [
+        "issued", "partOf", "publisher", "references", "title", "type"
+    ]
+
+
+def test_aggregate_syntax_errors(g):
+    """Spec §18.2.4: projected non-aggregate vars must be grouped;
+    malformed aggregate clauses raise, never guess."""
+    for bad in [
+        # ?p projected but not grouped
+        "SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+        # only COUNT takes *
+        "SELECT (SUM(*) AS ?x) WHERE { ?s ?p ?o }",
+        # missing AS ?alias
+        "SELECT (COUNT(?o)) WHERE { ?s ?p ?o }",
+        # HAVING over an ungrouped plain variable
+        "SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)",
+        # empty GROUP BY
+        "SELECT (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY",
+        # SEPARATOR outside GROUP_CONCAT
+        'SELECT (COUNT(?o; SEPARATOR=",") AS ?n) WHERE { ?s ?p ?o }',
+        # bare COUNT(*) mixed with GROUP BY
+        "SELECT COUNT(*) WHERE { ?s ?p ?o } GROUP BY ?s",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)

@@ -439,6 +439,27 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "sparql_group_by_aggregates",
+            run_sparql(
+                tstore,
+                """SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?o) AS ?objs)
+                   WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(*) >= 10)""",
+            ),
+            [
+                # grouped aggregation must partial-aggregate map-side
+                # (two HashAggregate levels around the key exchange)
+                ("map-side partial aggregation",
+                 lambda p: p.count("HashAggregate") >= 2),
+                ("no global single-partition sort", lambda p: "Sort" not in p
+                 or "hashpartitioning" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
