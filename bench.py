@@ -69,6 +69,7 @@ HEADLINE = [
     "kg_sparql",
     "kg_facets_sparql",
     "kg_sparql_neg",
+    "kg_sparql_agg",
 ]
 
 

@@ -13,11 +13,16 @@ query text runs against the Spark triples table:
   patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
   { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
-  CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype()
+  CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype(),
+  REGEX(?v, "pat"[, "imsq"]) -> RLIKE, LANGMATCHES(LANG(?v), "range")
+  (RFC 4647 basic filtering)
   · VALUES ?v { ... } (an
   isin() filter, pushed into the pattern scans) · property paths
-  pred+ / pred* / pred{m,n}
-  (bounded; see graphquery) · MINUS / FILTER NOT EXISTS
+  pred+ / pred* / pred{m,n} (bounded; see graphquery), sequences
+  a/b (rewritten to a chain of patterns through hidden fresh vars),
+  inverse ^a (swapped endpoints), alternation a|b (a UNION of
+  branches; SPARQL precedence — sequence binds tighter) ·
+  MINUS / FILTER NOT EXISTS
   (a LEFT ANTI join on shared variables; with disjoint domains the
   two forms get their exact divergent spec semantics — MINUS keeps
   everything, NOT EXISTS is an all-or-nothing probe) ·
@@ -67,15 +72,20 @@ _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 _TOKEN_RE = re.compile(
     r"""
-      <[^>]*>                                   # IRI
+      <[^>\s]*>                                 # IRI (never spans spaces,
+                                                #  so '?x < 5 … ?y > 2'
+                                                #  cannot read as one)
     | "(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?   # literal (+tag)
     | \?[A-Za-z_]\w*                            # variable
     | [A-Za-z_][\w-]*:[\w.-]*[*+]?              # prefixed name (+path mod)
     | [A-Za-z_][A-Za-z0-9_]*                    # bare keyword / 'a'
     | \d+(?:\.\d+)?                             # number
-    | [{}().;,]                                 # punctuation
+    | [{}().;,/^]                               # punctuation / path ops
     | [*+]                                      # standalone path modifier
-    | [!<>=&|]+                                 # filter operators
+    | \|\| | && | != | <= | >=                  # two-char operators
+    | [<>=!|&]                                  # one-char operators
+                                                #  (never merged runs: '|<iri>'
+                                                #  must not lex as one token)
     """,
     re.VERBOSE,
 )
@@ -95,6 +105,10 @@ def _resolve(term: str, prefixes: dict[str, str]) -> str:
     """One token -> engine term (``?var`` kept, IRIs/literals
     resolved to plain strings — graphquery matches on the string)."""
     if term.startswith("?"):
+        if re.fullmatch(r"\?_pv\d+", term):
+            raise SparqlSyntaxError(
+                "?_pv<N> variable names are reserved for path rewriting"
+            )
         return term
     if term.startswith("<"):
         return term[1:-1]
@@ -255,33 +269,117 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             g["filters"].append(_filter_sql(toks[i + 2 : j - 1], prefixes))
             i = j
             continue
-        # triple pattern: s p o (. | ; p o ...)
+        # triple pattern: s path o (. | ; path o ...)
         s = _resolve(t, prefixes)
         i += 1
         while True:
-            p = _resolve(toks[i], prefixes)
-            i += 1
-            if i < len(toks) and toks[i] in ("*", "+"):
-                p += toks[i]
-                i += 1
-            elif i < len(toks) and toks[i] == "{":
-                # path quantifier pred{m,n} / pred{,n} / pred{n}
-                j = toks.index("}", i)
-                spec = "".join(toks[i + 1 : j])
-                if not re.fullmatch(r"\d*,\d*|\d+", spec):
-                    raise SparqlSyntaxError(
-                        f"bad path quantifier {{{spec}}}"
-                    )
-                p += "{" + spec + "}"
-                i = j + 1
+            alts, i = _parse_path(toks, i, prefixes)
             o = _resolve(toks[i], prefixes)
-            g["patterns"].append((s, p, o))
+            _emit_path(g, s, alts, o, prefixes)
             i += 1
             if i < len(toks) and toks[i] == ";":
                 i += 1
                 continue
             break
     raise SparqlSyntaxError("unterminated group (missing '}')")
+
+
+def _parse_path_elt(toks, i, prefixes) -> tuple[tuple[bool, str], int]:
+    """One property-path element at predicate position:
+    ``[^]term[*|+|{m,n}]`` -> ((inverted, pred-with-quantifier),
+    next index).  A variable predicate is allowed but takes no
+    modifiers (plain SPARQL)."""
+    inv = False
+    if toks[i] == "^":
+        inv, i = True, i + 1
+    p = _resolve(toks[i], prefixes)
+    i += 1
+    if p.startswith("?"):
+        return (inv, p), i
+    if i < len(toks) and toks[i] in ("*", "+"):
+        p += toks[i]
+        i += 1
+    elif i < len(toks) and toks[i] == "{":
+        # path quantifier pred{m,n} / pred{,n} / pred{n}
+        j = toks.index("}", i)
+        spec = "".join(toks[i + 1 : j])
+        if not re.fullmatch(r"\d*,\d*|\d+", spec):
+            raise SparqlSyntaxError(f"bad path quantifier {{{spec}}}")
+        p += "{" + spec + "}"
+        i = j + 1
+    return (inv, p), i
+
+
+def _parse_path(toks, i, prefixes) -> tuple[list, int]:
+    """Predicate-position property path (SPARQL 1.1 §9 subset):
+    ``elt(/elt)*`` sequences, ``|`` alternation of sequences,
+    ``^`` inverse per element, quantifiers per element, optional
+    outer parens.  Returns (branches, next index) where each branch
+    is a list of (inverted, pred) steps — one branch means a plain
+    sequence, several mean a UNION.  Quantifying a *parenthesized*
+    path is refused (the general Kleene-over-alternation case needs
+    an automaton product, not a pattern rewrite)."""
+    parens = toks[i] == "("
+    if parens:
+        i += 1
+    alts: list[list] = []
+    seq: list = []
+    while True:
+        elt, i = _parse_path_elt(toks, i, prefixes)
+        seq.append(elt)
+        if i < len(toks) and toks[i] == "/":
+            i += 1
+            continue
+        if i < len(toks) and toks[i] == "|":
+            alts.append(seq)
+            seq = []
+            i += 1
+            continue
+        break
+    alts.append(seq)
+    if parens:
+        if i >= len(toks) or toks[i] != ")":
+            raise SparqlSyntaxError("unclosed '(' in property path")
+        i += 1
+        if i < len(toks) and toks[i] in ("*", "+", "{"):
+            raise SparqlSyntaxError(
+                "quantified parenthesized paths are not supported — "
+                "quantify the individual elements instead"
+            )
+    return alts, i
+
+
+def _emit_path(g: dict, s: str, alts: list, o: str, prefixes: dict) -> None:
+    """Rewrite a parsed property path into plain triple patterns on
+    the group: a sequence chains patterns through fresh ``?_pv<N>``
+    variables (projected away at the end of the group's compile), an
+    inverse step swaps its endpoints, and an alternation becomes a
+    UNION of single-sequence branches (each branch binds exactly the
+    endpoints, so the union is a clean column-aligned unionByName).
+    Purely algebraic — every step still compiles to the engine's
+    equi-join / bounded-closure machinery."""
+    ctr = prefixes.setdefault("\x00pv", [0])
+
+    def emit_seq(grp, seq):
+        cur = s
+        for k, (inv, p) in enumerate(seq):
+            if k == len(seq) - 1:
+                tgt = o
+            else:
+                tgt = f"?_pv{ctr[0]}"
+                ctr[0] += 1
+            grp["patterns"].append((tgt, p, cur) if inv else (cur, p, tgt))
+            cur = tgt
+
+    if len(alts) == 1:
+        emit_seq(g, alts[0])
+    else:
+        branches = []
+        for seq in alts:
+            b = _empty_group()
+            emit_seq(b, seq)
+            branches.append(b)
+        g["unions"].append(branches)
 
 
 _FILTER_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "="}
@@ -406,6 +504,73 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             else:
                 out.append(f"_dt_{v}")
             i += 4
+            continue
+        elif u == "REGEX":
+            # REGEX(?x, "pat"[, "flags"]) -> RLIKE with the flags
+            # folded into the pattern as an inline group.  SPARQL
+            # REGEX and Spark RLIKE are both unanchored partial
+            # matches, so the semantics line up directly.
+            if not (
+                i + 5 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ","
+                and toks[i + 4].startswith('"')
+            ):
+                raise SparqlSyntaxError(
+                    'REGEX needs (?var, "pattern"[, "flags"])'
+                )
+            v = toks[i + 2][1:]
+            pat = _resolve(toks[i + 4], prefixes)
+            i += 5
+            if toks[i] == ",":
+                if not toks[i + 1].startswith('"'):
+                    raise SparqlSyntaxError("REGEX flags must be a string")
+                fl = _resolve(toks[i + 1], prefixes)
+                if not re.fullmatch(r"[imsq]*", fl):
+                    raise SparqlSyntaxError(f"unsupported REGEX flags {fl!r}")
+                if "q" in fl:
+                    pat = re.escape(pat)
+                    fl = fl.replace("q", "")
+                if fl:
+                    pat = f"(?{fl}){pat}"
+                i += 2
+            if toks[i] != ")":
+                raise SparqlSyntaxError("unclosed REGEX(...)")
+            esc = pat.replace("\\", "\\\\").replace("'", "''")
+            out.append(f"({v} RLIKE '{esc}')")
+            i += 1
+            continue
+        elif u == "LANGMATCHES":
+            # LANGMATCHES(LANG(?v), "range"): RFC 4647 basic
+            # filtering over the captured language-tag metadata —
+            # exact tag or prefix-followed-by-'-', case-insensitive;
+            # "*" matches any nonempty tag
+            ok = (
+                i + 8 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].upper() == "LANG"
+                and toks[i + 3] == "("
+                and toks[i + 4].startswith("?")
+                and toks[i + 5] == ")"
+                and toks[i + 6] == ","
+                and toks[i + 7].startswith('"')
+                and toks[i + 8] == ")"
+            )
+            if not ok:
+                raise SparqlSyntaxError(
+                    'LANGMATCHES needs (LANG(?var), "range")'
+                )
+            v = toks[i + 4][1:]
+            rng = _resolve(toks[i + 7], prefixes).lower().replace("'", "''")
+            tag = f"lower(coalesce(_lang_{v}, ''))"
+            if rng == "*":
+                out.append(f"({tag} != '')")
+            else:
+                out.append(
+                    f"({tag} = '{rng}' OR {tag} LIKE '{rng}-%')"
+                )
+            i += 9
             continue
         elif u == "IN":
             out.append("IN")
@@ -545,6 +710,16 @@ def _parse_toks(toks: list[str]) -> dict:
         tmpl, i = _parse_group(toks, i + 1, prefixes)
         if any(tmpl[k] for k in tmpl if k != "patterns"):
             raise SparqlSyntaxError("CONSTRUCT template must be plain triples")
+        for ts, tp, to in tmpl["patterns"]:
+            # path sugar (sequences introduce ?_pv vars, quantifiers
+            # ride on the pred) describes matching, not emission
+            if tp[-1] in "*+}" or any(
+                term.startswith("?_pv") for term in (ts, tp, to)
+            ):
+                raise SparqlSyntaxError(
+                    "property paths are not allowed in a CONSTRUCT "
+                    "template"
+                )
         out["template"] = tmpl["patterns"]
     else:
         raise SparqlSyntaxError(f"unsupported query form {form!r}")
@@ -866,6 +1041,16 @@ def _compile_group(
                     else F.lit(None).cast("string"),
                 )
         df = df.filter(F.expr(f))
+    # fresh ?_pv<N> variables introduced by sequence-path rewriting
+    # are scope-local plumbing: project them (and their metadata)
+    # away so they neither join across groups nor reach SELECT *
+    pv = [
+        c for c in df.columns
+        if re.fullmatch(r"(?:_isuri_|_lang_|_dt_)?_pv\d+", c)
+    ]
+    if pv:
+        df = df.drop(*pv)
+        nulls -= set(pv)
     return df, nulls
 
 

@@ -744,3 +744,89 @@ def test_aggregate_syntax_errors(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_sequence_and_inverse_paths(g):
+    """SPARQL 1.1 path sugar: a/b chains patterns through hidden
+    fresh variables (dropped before projection), ^a swaps the
+    pattern's endpoints, and both compose inside one path."""
+    got = run_sparql(
+        g, "SELECT ?sec ?t WHERE { ?sec <references>/<title> ?t }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1#s1", "Beta"), ("d2#s1", "Alpha")]
+    got = run_sparql(
+        g, "SELECT ?d ?x WHERE { ?d ^<partOf>/<references> ?x }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "d2"), ("d2", "d1")]
+    # the hidden chain variables never leak into SELECT *
+    star = run_sparql(g, "SELECT * WHERE { ?s <references>/<title> ?t }")
+    assert star.columns == ["s", "t"]
+
+
+def test_path_alternation_and_quantified_step(g):
+    """a|b compiles to a UNION of branches; a quantified element
+    inside a sequence keeps the bounded-closure compile."""
+    got = run_sparql(
+        g, "SELECT ?s ?t WHERE { ?s (<title>|<partOf>/<title>) ?t }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("d1", "Alpha"), ("d1#s1", "Alpha"), ("d1#s1", "Intro"),
+        ("d2", "Beta"), ("d2#s1", "Beta"),
+    ]
+    got = run_sparql(
+        g, "SELECT ?s ?t WHERE { ?s <partOf>*/<title> ?t }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("d1", "Alpha"), ("d1#s1", "Alpha"), ("d1#s1", "Intro"),
+        ("d2", "Beta"), ("d2#s1", "Beta"),
+    ]
+
+
+def test_regex_and_langmatches_filters(g):
+    """REGEX maps to RLIKE (flags folded in; q escapes the pattern);
+    LANGMATCHES does RFC 4647 basic filtering over the captured
+    language tags."""
+    got = run_sparql(
+        g, 'SELECT ?t WHERE { ?s <title> ?t . FILTER(REGEX(?t, "^alp", "i")) }'
+    ).collect()
+    assert [r["t"] for r in got] == ["Alpha"]
+    # 'en' matches en and en-GB style subtags, not sv
+    got = run_sparql(
+        g,
+        'SELECT ?t WHERE { ?s <title> ?t . '
+        'FILTER(LANGMATCHES(LANG(?t), "en")) }',
+    ).collect()
+    assert sorted(r["t"] for r in got) == ["Alpha", "Intro"]
+    got = run_sparql(
+        g,
+        'SELECT ?t WHERE { ?s <title> ?t . '
+        'FILTER(LANGMATCHES(LANG(?t), "*")) }',
+    ).collect()
+    assert len(got) == 3
+
+
+def test_two_sided_numeric_filter_tokenizes(g):
+    """'?x < a && ?y > b' must lex as four operator tokens — the IRI
+    rule must never swallow '< ... >' across spaces."""
+    got = run_sparql(
+        g,
+        """SELECT ?s WHERE { ?s <issued> ?d . ?s <title> ?t .
+           FILTER(?d > "1990" && ?d < "2010") }""",
+    ).collect()
+    assert sorted(r["s"] for r in got) == ["d1", "d2"]
+
+
+def test_path_syntax_errors(g):
+    for bad in [
+        # Kleene over a parenthesized path needs an automaton, refuse
+        "SELECT ?s WHERE { ?s (<a>/<b>)* ?o }",
+        # the rewrite's fresh-variable namespace is reserved
+        "SELECT ?_pv0 WHERE { ?_pv0 <a> ?o }",
+        # paths never emit triples
+        "CONSTRUCT { ?a <x>/<y> ?b } WHERE { ?a <x> ?b }",
+        "SELECT ?t WHERE { ?s <title> ?t . FILTER(REGEX(?t)) }",
+        'SELECT ?t WHERE { ?s <title> ?t . FILTER(REGEX(?t, "p", "z")) }',
+        'SELECT ?t WHERE { ?s <title> ?t . FILTER(LANGMATCHES(?t, "en")) }',
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
