@@ -537,6 +537,17 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                 i += 2
             if toks[i] != ")":
                 raise SparqlSyntaxError("unclosed REGEX(...)")
+            try:
+                # parse-time validation: a broken pattern must raise
+                # here on the driver, not crash executor tasks at
+                # collect time.  (Python re as a syntax proxy for
+                # Java's engine — it refuses a few Java-only
+                # constructs like possessive quantifiers, loudly.)
+                re.compile(pat)
+            except re.error as e:
+                raise SparqlSyntaxError(
+                    f"invalid REGEX pattern {pat!r}: {e}"
+                ) from e
             esc = pat.replace("\\", "\\\\").replace("'", "''")
             out.append(f"({v} RLIKE '{esc}')")
             i += 1

@@ -830,3 +830,12 @@ def test_path_syntax_errors(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_regex_invalid_pattern_raises_at_parse(g):
+    """A syntactically broken regex must raise SparqlSyntaxError on
+    the driver at parse time, never crash executor tasks mid-job."""
+    with pytest.raises(SparqlSyntaxError, match="invalid REGEX"):
+        run_sparql(
+            g, 'SELECT ?t WHERE { ?s <title> ?t . FILTER(REGEX(?t, "[oops")) }'
+        )
