@@ -591,3 +591,123 @@ def test_negation_matches_naive(spark, seed):
         if s["a"] not in neg_keys
     }
     assert got == want, text
+
+
+# ---------------------------------------------------------------
+# 7. grouped aggregates vs a naive Python group-and-fold
+# ---------------------------------------------------------------
+
+
+def _naive_aggregate(triples, seed_rnd):
+    """Random 2-pattern BGP { ?s <p> ?o . ?s <q> ?w } aggregated per
+    ?s, folded by hand over the DISTINCT solution set."""
+    sols = {
+        (s1, o1, o2)
+        for s1, p1, o1 in triples if p1 == EX + "p"
+        for s2, p2, o2 in triples if p2 == EX + "q" and s2 == s1
+    }
+    groups: dict = {}
+    for s, o, w in sols:
+        groups.setdefault(s, []).append((o, w))
+    out = {}
+    for s, rows in groups.items():
+        os_ = [o for o, _ in rows]
+        nums = []
+        for o in os_:
+            try:
+                nums.append(float(o))
+            except ValueError:
+                pass
+        out[s] = (
+            len(rows),                      # COUNT(?o) over solutions
+            len(set(os_)),                  # COUNT(DISTINCT ?o)
+            min(os_),                       # MIN lexical
+            sum(nums) if nums else None,    # SUM numeric, else NULL
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_aggregates_match_naive(spark, seed):
+    rnd = random.Random(9100 + seed)
+    subs = [EX + f"s{i}" for i in range(4)]
+    objs = ["1", "2", "2.5", "w", "z", "10"]
+    triples = {
+        (rnd.choice(subs), EX + rnd.choice("pq"), rnd.choice(objs))
+        for _ in range(rnd.randint(4, 18))
+    }
+    rows = [(s, p, o, False, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["s"]: (r["n"], r["d"], r["lo"], r["sm"])
+        for r in run_sparql(
+            g,
+            f"""SELECT ?s (COUNT(?o) AS ?n) (COUNT(DISTINCT ?o) AS ?d)
+                       (MIN(?o) AS ?lo) (SUM(?o) AS ?sm)
+                WHERE {{ ?s <{EX}p> ?o . ?s <{EX}q> ?w }} GROUP BY ?s""",
+        ).collect()
+    }
+    assert got == _naive_aggregate(triples, rnd), sorted(triples)
+
+
+# ---------------------------------------------------------------
+# 8. path sugar (sequence / inverse / alternation) vs naive chains
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_path_sugar_matches_naive(spark, seed):
+    rnd = random.Random(9300 + seed)
+    nodes = [EX + f"n{i}" for i in range(5)]
+    triples = {
+        (rnd.choice(nodes), EX + rnd.choice("pq"), rnd.choice(nodes))
+        for _ in range(rnd.randint(3, 14))
+    }
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    P, Q = EX + "p", EX + "q"
+
+    def edges(pred):
+        return {(s, o) for s, p, o in triples if p == pred}
+
+    # sequence ?x <p>/<q> ?y
+    want = {(x, y) for x, m in edges(P) for m2, y in edges(Q) if m == m2}
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x <{P}>/<{Q}> ?y }}"
+        ).collect()
+    }
+    assert got == want, ("seq", sorted(triples))
+
+    # inverse ?x ^<p> ?y  ==  y p x
+    want = {(o, s) for s, o in edges(P)}
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x ^<{P}> ?y }}"
+        ).collect()
+    }
+    assert got == want, ("inv", sorted(triples))
+
+    # alternation ?x (<p>|<q>) ?y
+    want = edges(P) | edges(Q)
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x (<{P}>|<{Q}>) ?y }}"
+        ).collect()
+    }
+    assert got == want, ("alt", sorted(triples))
+
+    # inverse inside a sequence: ?x ^<p>/<q> ?y == exists m: m p x, m q y
+    want = {
+        (x, y) for m, x in edges(P) for m2, y in edges(Q) if m == m2
+    }
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x ^<{P}>/<{Q}> ?y }}"
+        ).collect()
+    }
+    assert got == want, ("invseq", sorted(triples))
