@@ -9,7 +9,10 @@ graphquery's distributed BGP engine, so the VERBATIM reference
 query text runs against the Spark triples table:
 
   PREFIX declarations · SELECT [DISTINCT] ?v ... / SELECT COUNT(*)
-  / CONSTRUCT { template } · FROM <g> dataset clauses · basic graph
+  / CONSTRUCT { template } / ASK (a lazy LIMIT-1 existence probe)
+  · subqueries { SELECT ... } (evaluated bottom-up against the
+  dataset, aggregation/LIMIT before the outward compatible join —
+  spec §12) · FROM <g> dataset clauses · basic graph
   patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
   { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
@@ -139,6 +142,7 @@ def _empty_group() -> dict:
         "minus": [],
         "values": [],
         "subgroups": [],
+        "subselects": [],
     }
 
 
@@ -159,7 +163,15 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
         if t == ".":
             i += 1
             continue
-        if t == "{":  # subgroup: must be a UNION chain
+        if t == "{":  # subgroup, subquery, or a UNION chain
+            if i + 1 < len(toks) and toks[i + 1].upper() == "SELECT":
+                sub, i = _parse_subselect(toks, i + 1, prefixes)
+                g["subselects"].append(sub)
+                if i < len(toks) and toks[i].upper() == "UNION":
+                    raise SparqlSyntaxError(
+                        "a subquery cannot be a UNION branch"
+                    )
+                continue
             alts = []
             sub, i = _parse_group(toks, i + 1, prefixes)
             alts.append(sub)
@@ -676,45 +688,16 @@ def _parse_toks(toks: list[str]) -> dict:
         "having_aggs": [],
     }
     if form == "SELECT":
-        if toks[i].upper() == "DISTINCT":
-            i += 1  # solutions are projected with set semantics anyway
-        if toks[i].upper() == "COUNT":
-            # bare SELECT COUNT(*): the reference's store-size query
-            # (triplestore.py triple_count, FusekiStore)
-            if toks[i + 1 : i + 4] != ["(", "*", ")"]:
-                raise SparqlSyntaxError(
-                    "aggregates other than bare COUNT(*) need "
-                    "(AGG(...) AS ?alias)"
-                )
-            out["count"] = True
-            i += 4
-        while i < len(toks):
-            t = toks[i]
-            if t.startswith("?"):
-                out["select_vars"].append(t[1:])
-                out["proj"].append(t[1:])
-                i += 1
-            elif t == "*":
-                i += 1
-            elif t == "(":
-                # projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
-                agg, i = _parse_agg(toks, i + 1, prefixes)
-                if toks[i].upper() != "AS" or not toks[i + 1].startswith("?"):
-                    raise SparqlSyntaxError("aggregate needs AS ?alias")
-                agg["alias"] = toks[i + 1][1:]
-                if toks[i + 2] != ")":
-                    raise SparqlSyntaxError("unclosed (AGG(...) AS ?alias)")
-                out["aggs"].append(agg)
-                out["proj"].append(agg["alias"])
-                i += 3
-            else:
-                break
+        i = _parse_select_head(toks, i, prefixes, out)
         # FROM <g> dataset clauses (documentrepository.facet_query
         # emits one); scoped like GRAPH — a filter on the `graph`
         # column for multi-graph tables, identity otherwise
         while toks[i].upper() == "FROM":
             out["from_graphs"].append(_resolve(toks[i + 1], prefixes))
             i += 2
+    elif form == "ASK":
+        # boolean existence probe; no projection head
+        pass
     elif form == "CONSTRUCT":
         if toks[i] != "{":
             raise SparqlSyntaxError("CONSTRUCT needs '{ template }'")
@@ -734,13 +717,78 @@ def _parse_toks(toks: list[str]) -> dict:
         out["template"] = tmpl["patterns"]
     else:
         raise SparqlSyntaxError(f"unsupported query form {form!r}")
-    if toks[i].upper() != "WHERE" or toks[i + 1] != "{":
-        raise SparqlSyntaxError("expected WHERE { ... }")
-    out["where"], i = _parse_group(toks, i + 2, prefixes)
-    # solution modifiers: ORDER BY [ASC|DESC](?v)... / LIMIT / OFFSET
+    if form == "ASK" and toks[i] == "{":
+        # ASK { ... } — the WHERE keyword is optional (spec §17)
+        out["where"], i = _parse_group(toks, i + 1, prefixes)
+    else:
+        if toks[i].upper() != "WHERE" or toks[i + 1] != "{":
+            raise SparqlSyntaxError("expected WHERE { ... }")
+        out["where"], i = _parse_group(toks, i + 2, prefixes)
     out["order_by"], out["limit"], out["offset"] = [], None, 0
+    i = _parse_modifiers(toks, i, prefixes, out)
+    if i < len(toks):
+        raise SparqlSyntaxError(f"unexpected trailing token {toks[i]!r}")
+    if form == "ASK" and (
+        out["order_by"] or out["limit"] is not None or out["offset"]
+        or out["group_by"] or out["having"] is not None
+    ):
+        raise SparqlSyntaxError("ASK takes no solution modifiers")
+    _validate_select(out)
+    return out
+
+
+def _parse_select_head(toks: list[str], i: int, prefixes: dict, out: dict) -> int:
+    """SELECT projection clause (after the SELECT keyword):
+    [DISTINCT] then any mix of ?var / * / (AGG(...) AS ?alias),
+    or the reference's bare COUNT(*).  Fills select_vars/aggs/proj
+    on `out`, returns the next index."""
+    if toks[i].upper() == "DISTINCT":
+        i += 1  # solutions are projected with set semantics anyway
+    if toks[i].upper() == "COUNT":
+        # bare SELECT COUNT(*): the reference's store-size query
+        # (triplestore.py triple_count, FusekiStore)
+        if toks[i + 1 : i + 4] != ["(", "*", ")"]:
+            raise SparqlSyntaxError(
+                "aggregates other than bare COUNT(*) need "
+                "(AGG(...) AS ?alias)"
+            )
+        out["count"] = True
+        i += 4
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith("?"):
+            out["select_vars"].append(t[1:])
+            out["proj"].append(t[1:])
+            i += 1
+        elif t == "*":
+            i += 1
+        elif t == "(":
+            # projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
+            agg, i = _parse_agg(toks, i + 1, prefixes)
+            if toks[i].upper() != "AS" or not toks[i + 1].startswith("?"):
+                raise SparqlSyntaxError("aggregate needs AS ?alias")
+            agg["alias"] = toks[i + 1][1:]
+            if toks[i + 2] != ")":
+                raise SparqlSyntaxError("unclosed (AGG(...) AS ?alias)")
+            out["aggs"].append(agg)
+            out["proj"].append(agg["alias"])
+            i += 3
+        else:
+            break
+    return i
+
+
+def _parse_modifiers(
+    toks: list[str], i: int, prefixes: dict, out: dict, end_at_brace: bool = False
+) -> int:
+    """Solution modifiers: GROUP BY / HAVING / ORDER BY / LIMIT /
+    OFFSET.  With end_at_brace (subqueries) the loop stops at the
+    first '}' without consuming it; otherwise it runs to the end of
+    the token stream.  Unknown tokens raise."""
     while i < len(toks):
         kw = toks[i].upper()
+        if end_at_brace and kw == "}":
+            break
         if kw == "ORDER" and i + 1 < len(toks) and toks[i + 1].upper() == "BY":
             i += 2
             while i < len(toks):
@@ -802,10 +850,14 @@ def _parse_toks(toks: list[str]) -> dict:
             out["offset"] = int(toks[i + 1])
             i += 2
         else:
-            raise SparqlSyntaxError(f"unexpected trailing token {toks[i]!r}")
-    # an aggregated SELECT (spec §18.2.4 Grouping): every plainly
-    # projected variable must be a grouping key, and HAVING is only
-    # meaningful over groups
+            break
+    return i
+
+
+def _validate_select(out: dict) -> None:
+    """Spec §18.2.4 Grouping: in an aggregated SELECT every plainly
+    projected variable must be a grouping key, and HAVING is only
+    meaningful over groups."""
     if out["aggs"] or out["group_by"] or out["having"] is not None:
         ungrouped = [v for v in out["select_vars"] if v not in out["group_by"]]
         if ungrouped:
@@ -820,7 +872,34 @@ def _parse_toks(toks: list[str]) -> dict:
             )
         if not out["proj"]:
             raise SparqlSyntaxError("aggregated SELECT projects nothing")
-    return out
+
+
+def _parse_subselect(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
+    """Subquery (spec §12): ``{ SELECT ... WHERE { ... } modifiers }``
+    with `i` at the SELECT keyword.  Evaluated bottom-up against the
+    dataset (never against outer bindings) and joined outward on its
+    projected variables, exactly the spec's algebra.  Returns
+    (sub-query dict, index past the closing brace)."""
+    sub: dict = {
+        "form": "SELECT",
+        "select_vars": [],
+        "aggs": [],
+        "proj": [],
+        "count": False,
+        "group_by": [],
+        "having": None,
+        "having_aggs": [],
+    }
+    i = _parse_select_head(toks, i + 1, prefixes, sub)
+    if toks[i].upper() != "WHERE" or toks[i + 1] != "{":
+        raise SparqlSyntaxError("subquery needs WHERE { ... }")
+    sub["where"], i = _parse_group(toks, i + 2, prefixes)
+    sub["order_by"], sub["limit"], sub["offset"] = [], None, 0
+    i = _parse_modifiers(toks, i, prefixes, sub, end_at_brace=True)
+    if i >= len(toks) or toks[i] != "}":
+        raise SparqlSyntaxError("unterminated subquery (missing '}')")
+    _validate_select(sub)
+    return sub, i + 1
 
 
 #: hidden term-metadata column prefixes (mirrors graphquery._META)
@@ -959,6 +1038,16 @@ def _compile_group(
             df, nulls = sdf, snull
         else:
             df, nulls = _joined_nulls(df, nulls, sdf, snull)
+    for sq in g["subselects"]:
+        # subquery (spec §12): evaluated bottom-up against the
+        # dataset — its projection, aggregation and LIMIT apply
+        # BEFORE the join outward on its projected variables
+        ssols, snull = _compile_group(triples, sq["where"], max_path_hops)
+        sdf, snull = _run_select(ssols, snull, sq)
+        if df is None:
+            df, nulls = sdf, snull
+        else:
+            df, nulls = _joined_nulls(df, nulls, sdf, snull)
     for alts in g["unions"]:
         parts = [_compile_group(triples, a, max_path_hops) for a in alts]
         # union-side maybe-unbound vars: unbound in some branch, or
@@ -1065,6 +1154,105 @@ def _compile_group(
     return df, nulls
 
 
+def _run_select(
+    sols: DataFrame, nulls: set, q: dict
+) -> tuple[DataFrame, set]:
+    """SELECT-clause evaluation over a compiled solution set:
+    projection / bare COUNT(*) / grouped aggregation / HAVING /
+    ORDER-LIMIT-OFFSET.  Shared by top-level SELECT queries and
+    subqueries (spec §12).  Returns (DataFrame, maybe-unbound set of
+    the projected columns) so a subquery's output can compat-join
+    outward."""
+    from pyspark.sql import functions as F
+
+    if q["aggs"] or q["group_by"] or q["having"] is not None:
+        # grouped/aggregated SELECT: aggregate over the DISTINCT
+        # visible solutions (set semantics, consistent with bare
+        # COUNT(*) below), map-side partial aggregation for free
+        all_aggs = q["aggs"] + q["having_aggs"]
+        needed = set(q["group_by"]) | {
+            a["var"] for a in all_aggs if a["var"]
+        }
+        for v in sorted(needed):
+            if v not in sols.columns:
+                sols = sols.withColumn(v, F.lit(None).cast("string"))
+        base = sols.select(*sorted(_visible(sols))).distinct()
+        exprs = [
+            F.expr(_agg_sql(a)).alias(a["alias"]) for a in all_aggs
+        ]
+        if exprs:
+            out = base.groupBy(*q["group_by"]).agg(*exprs)
+        else:  # GROUP BY with no aggregates: just the keys
+            out = base.select(*q["group_by"]).distinct()
+        if q["having"] is not None:
+            out = out.filter(F.expr(q["having"]))
+        vars_ = q["proj"]
+        out = out.select(*vars_)
+        # group keys keep their input nullability; every aggregate
+        # except COUNT can be NULL (SUM/AVG of no numeric member,
+        # MIN/MAX/SAMPLE of nothing never happens per-group, but be
+        # conservative — an overestimate only costs compat-join
+        # pieces if the alias later joins)
+        out_nulls = (nulls & set(q["group_by"])) | {
+            a["alias"] for a in q["aggs"] if a["func"] != "COUNT"
+        }
+    else:
+        vars_ = q["select_vars"] or sorted(
+            c for c in sols.columns
+            if not c.startswith(("_isuri_", "_lang_", "_dt_"))
+            and c != "_ground"
+        )
+        # SPARQL projects unbound variables as NULL (the reference's
+        # sfs_forfattningskommentar.rq selects a ?desc no pattern
+        # binds); Spark would reject the missing column instead
+        filled = set()
+        for v in vars_:
+            if v not in sols.columns:
+                sols = sols.withColumn(v, F.lit(None).cast("string"))
+                filled.add(v)
+        if q["count"]:
+            # solutions over a triple SET: bag COUNT(*) == set count
+            return (
+                sols.select(*vars_)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("count"))
+            ), set()
+        out = sols.select(*vars_).distinct()
+        out_nulls = (nulls & set(vars_)) | filled
+    if q["order_by"]:
+        cols = [
+            F.col(v).desc() if d else F.col(v).asc()
+            for v, d in q["order_by"]
+        ]
+        # tie-break on all projected vars so pages are stable
+        cols += [F.col(v) for v in vars_]
+        if q["limit"] is not None:
+            # top-(offset+limit) plan — TakeOrderedAndProject,
+            # bounded per-partition heaps, never a global sort
+            # (same shape as query.paginate)
+            hi = q["offset"] + q["limit"]
+            out = out.orderBy(*cols).limit(hi)
+            if q["offset"]:
+                from pyspark.sql import Window
+
+                w = Window.orderBy(*cols)
+                out = (
+                    out.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") > q["offset"])
+                    .drop("_rn")
+                )
+        else:
+            out = out.orderBy(*cols)
+    else:
+        if q["offset"]:
+            raise SparqlSyntaxError(
+                "OFFSET without ORDER BY is non-deterministic"
+            )
+        if q["limit"] is not None:
+            out = out.limit(q["limit"])
+    return out, out_nulls
+
+
 def run_sparql(
     triples: DataFrame,
     text: str,
@@ -1080,84 +1268,17 @@ def run_sparql(
 
     if q["from_graphs"] and "graph" in triples.columns:
         triples = triples.filter(F.col("graph").isin(q["from_graphs"]))
-    sols, _ = _compile_group(triples, q["where"], max_path_hops)
+    sols, nulls = _compile_group(triples, q["where"], max_path_hops)
+
+    if q["form"] == "ASK":
+        # boolean existence probe, kept lazy and distributed: LIMIT 1
+        # stops the scan at the first surviving solution
+        return sols.limit(1).agg(
+            (F.count(F.lit(1)) > 0).alias("ask")
+        )
 
     if q["form"] == "SELECT":
-        if q["aggs"] or q["group_by"] or q["having"] is not None:
-            # grouped/aggregated SELECT: aggregate over the DISTINCT
-            # visible solutions (set semantics, consistent with bare
-            # COUNT(*) below), map-side partial aggregation for free
-            all_aggs = q["aggs"] + q["having_aggs"]
-            needed = set(q["group_by"]) | {
-                a["var"] for a in all_aggs if a["var"]
-            }
-            for v in sorted(needed):
-                if v not in sols.columns:
-                    sols = sols.withColumn(v, F.lit(None).cast("string"))
-            base = sols.select(*sorted(_visible(sols))).distinct()
-            exprs = [
-                F.expr(_agg_sql(a)).alias(a["alias"]) for a in all_aggs
-            ]
-            if exprs:
-                out = base.groupBy(*q["group_by"]).agg(*exprs)
-            else:  # GROUP BY with no aggregates: just the keys
-                out = base.select(*q["group_by"]).distinct()
-            if q["having"] is not None:
-                out = out.filter(F.expr(q["having"]))
-            vars_ = q["proj"]
-            out = out.select(*vars_)
-        else:
-            vars_ = q["select_vars"] or sorted(
-                c for c in sols.columns
-                if not c.startswith(("_isuri_", "_lang_", "_dt_"))
-                and c != "_ground"
-            )
-            # SPARQL projects unbound variables as NULL (the
-            # reference's sfs_forfattningskommentar.rq selects a
-            # ?desc no pattern binds); Spark would reject the missing
-            # column instead
-            for v in vars_:
-                if v not in sols.columns:
-                    sols = sols.withColumn(v, F.lit(None).cast("string"))
-            if q["count"]:
-                # solutions over a triple SET: bag COUNT(*) == count
-                return (
-                    sols.select(*vars_)
-                    .distinct()
-                    .agg(F.count(F.lit(1)).alias("count"))
-                )
-            out = sols.select(*vars_).distinct()
-        if q["order_by"]:
-            cols = [
-                F.col(v).desc() if d else F.col(v).asc()
-                for v, d in q["order_by"]
-            ]
-            # tie-break on all projected vars so pages are stable
-            cols += [F.col(v) for v in vars_]
-            if q["limit"] is not None:
-                # top-(offset+limit) plan — TakeOrderedAndProject,
-                # bounded per-partition heaps, never a global sort
-                # (same shape as query.paginate)
-                hi = q["offset"] + q["limit"]
-                out = out.orderBy(*cols).limit(hi)
-                if q["offset"]:
-                    from pyspark.sql import Window
-
-                    w = Window.orderBy(*cols)
-                    out = (
-                        out.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") > q["offset"])
-                        .drop("_rn")
-                    )
-            else:
-                out = out.orderBy(*cols)
-        else:
-            if q["offset"]:
-                raise SparqlSyntaxError(
-                    "OFFSET without ORDER BY is non-deterministic"
-                )
-            if q["limit"] is not None:
-                out = out.limit(q["limit"])
+        out, _ = _run_select(sols, nulls, q)
         return out
 
     # CONSTRUCT: one output triple per template entry per solution,

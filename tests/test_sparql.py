@@ -107,7 +107,7 @@ def test_star_path_with_ground_endpoint(spark, g):
 
 def test_unsupported_syntax_raises(spark):
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql("ASK { ?s ?p ?o }")
+        parse_sparql("DESCRIBE <http://ex.org/d1>")
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?s WHERE { ?s x ?o }")  # bare non-keyword term
 
@@ -839,3 +839,52 @@ def test_regex_invalid_pattern_raises_at_parse(g):
         run_sparql(
             g, 'SELECT ?t WHERE { ?s <title> ?t . FILTER(REGEX(?t, "[oops")) }'
         )
+
+
+def test_subquery_aggregate_join(g):
+    """Spec §12 subqueries: evaluated bottom-up against the dataset,
+    aggregation/LIMIT applied BEFORE the outward join on projected
+    variables."""
+    got = run_sparql(
+        g,
+        """SELECT ?s ?t WHERE {
+             ?s <title> ?t .
+             { SELECT ?s WHERE { ?s <references> ?x } GROUP BY ?s
+               HAVING (COUNT(?x) >= 1) }
+           }""",
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1#s1", "Intro")]
+    # top-k subquery: the most-referenced doc and its title
+    got = run_sparql(
+        g,
+        """SELECT ?d ?t ?n WHERE {
+             ?d <title> ?t .
+             { SELECT ?d (COUNT(?x) AS ?n) WHERE { ?x <references> ?d }
+               GROUP BY ?d ORDER BY DESC(?n) ?d LIMIT 1 }
+           }""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("d1", "Alpha", 1)]
+
+
+def test_ask_form(g):
+    """ASK compiles to a lazy LIMIT-1 existence probe returning one
+    boolean row; WHERE keyword is optional."""
+    assert run_sparql(g, "ASK { ?s <references> ?o }").collect()[0]["ask"]
+    assert not run_sparql(
+        g, "ASK WHERE { ?s <nosuchpred> ?o }"
+    ).collect()[0]["ask"]
+    with pytest.raises(SparqlSyntaxError):
+        run_sparql(g, "ASK { ?s <references> ?o } LIMIT 2")
+
+
+def test_subquery_syntax_errors(g):
+    for bad in [
+        # subqueries cannot be UNION branches (loud, not wrong)
+        "SELECT ?d WHERE { { SELECT ?d WHERE { ?d <a> ?x } } UNION { ?d <b> ?t } }",
+        # truncated subquery
+        "SELECT ?d WHERE { { SELECT ?d WHERE { ?d <a> ?x } ",
+        # aggregated subquery still validates grouping
+        "SELECT ?d WHERE { { SELECT ?d ?x (COUNT(?x) AS ?n) WHERE { ?d <a> ?x } GROUP BY ?d } }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
