@@ -460,6 +460,33 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "sparql_topk_subquery",
+            run_sparql(
+                tstore,
+                """PREFIX dcterms: <http://purl.org/dc/terms/>
+                SELECT ?d ?t ?n WHERE {
+                  ?d dcterms:title ?t .
+                  { SELECT ?d (COUNT(?x) AS ?n)
+                    WHERE { ?x dcterms:references ?d }
+                    GROUP BY ?d ORDER BY DESC(?n) ?d LIMIT 5 }
+                }""",
+            ),
+            [
+                # the subquery's ORDER+LIMIT must be the bounded
+                # top-k plan, not a global sort
+                ("subquery top-k is TakeOrderedAndProject",
+                 lambda p: "TakeOrderedAndProject" in p),
+                ("no single-partition window", lambda p: "Window" not in p),
+                ("map-side partial aggregation",
+                 lambda p: p.count("HashAggregate") >= 2),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
