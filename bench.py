@@ -70,6 +70,7 @@ HEADLINE = [
     "kg_facets_sparql",
     "kg_sparql_neg",
     "kg_sparql_agg",
+    "kg_sparql_topk",
 ]
 
 

@@ -1804,6 +1804,42 @@ FROM t GROUP BY pred HAVING COUNT(*) >= 10
 """
 
 
+def q_kg_sparql_topk(spark, sf_dir):
+    """SPARQL subquery end-to-end (spec §12): the five most-referenced
+    resources with their titles — a grouped top-k subquery (ORDER BY
+    DESC(count) LIMIT, compiled to TakeOrderedAndProject with map-side
+    partial aggregation) joined outward onto the title pattern."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?d ?t ?n WHERE {
+          ?d dcterms:title ?t .
+          { SELECT ?d (COUNT(?x) AS ?n)
+            WHERE { ?x dcterms:references ?d }
+            GROUP BY ?d ORDER BY DESC(?n) ?d LIMIT 5 }
+        }
+        """,
+    )
+
+
+#: twin: dedup triples (set semantics), count referencing subjects
+#: per object, deterministic top-5 (count desc, uri asc), join titles
+ORACLE_KG_SPARQL_TOPK_TMPL = """
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {t}),
+top5 AS (
+  SELECT obj AS d, COUNT(*) AS n FROM t
+  WHERE pred = 'http://purl.org/dc/terms/references'
+  GROUP BY obj ORDER BY n DESC, d LIMIT 5
+)
+SELECT ti.subj AS d, ti.obj AS t, top5.n AS n
+FROM top5 JOIN t ti ON ti.subj = top5.d
+WHERE ti.pred = 'http://purl.org/dc/terms/title'
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2492,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facets_sparql": q_kg_facets_sparql,
         "kg_sparql_neg": q_kg_sparql_neg,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_topk": q_kg_sparql_topk,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2564,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_facets_sparql": ORACLE_KG_FACETS_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_neg": ORACLE_KG_SPARQL_NEG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_agg": ORACLE_KG_SPARQL_AGG_TMPL.format(t=_kg_t("triples")),
+        "kg_sparql_topk": ORACLE_KG_SPARQL_TOPK_TMPL.format(t=_kg_t("triples")),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),
