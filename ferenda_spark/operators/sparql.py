@@ -10,6 +10,8 @@ query text runs against the Spark triples table:
 
   PREFIX declarations · SELECT [DISTINCT] ?v ... / SELECT COUNT(*)
   / CONSTRUCT { template } / ASK (a lazy LIMIT-1 existence probe)
+  / DESCRIBE <iri>|?v [WHERE] (simple subject description: a pushed
+  isin scan for ground IRIs, a semi-join for pattern-bound vars)
   · subqueries { SELECT ... } (evaluated bottom-up against the
   dataset, aggregation/LIMIT before the outward compatible join —
   spec §12) · FROM <g> dataset clauses · basic graph
@@ -686,6 +688,8 @@ def _parse_toks(toks: list[str]) -> dict:
         "group_by": [],
         "having": None,
         "having_aggs": [],
+        "describe_vars": [],
+        "describe_iris": [],
     }
     if form == "SELECT":
         i = _parse_select_head(toks, i, prefixes, out)
@@ -698,6 +702,22 @@ def _parse_toks(toks: list[str]) -> dict:
     elif form == "ASK":
         # boolean existence probe; no projection head
         pass
+    elif form == "DESCRIBE":
+        # DESCRIBE <iri>... ?v... [WHERE { ... }] — simple subject
+        # description (all store triples whose subject is a described
+        # resource; no blank-node closure, the store has no bnodes)
+        while i < len(toks):
+            t = toks[i]
+            if t.startswith("?"):
+                out["describe_vars"].append(t[1:])
+                i += 1
+            elif t.startswith("<") or (":" in t and t.upper() != "WHERE"):
+                out["describe_iris"].append(_resolve(t, prefixes))
+                i += 1
+            else:
+                break
+        if not out["describe_vars"] and not out["describe_iris"]:
+            raise SparqlSyntaxError("DESCRIBE needs at least one resource")
     elif form == "CONSTRUCT":
         if toks[i] != "{":
             raise SparqlSyntaxError("CONSTRUCT needs '{ template }'")
@@ -717,7 +737,14 @@ def _parse_toks(toks: list[str]) -> dict:
         out["template"] = tmpl["patterns"]
     else:
         raise SparqlSyntaxError(f"unsupported query form {form!r}")
-    if form == "ASK" and toks[i] == "{":
+    if form == "DESCRIBE" and (
+        i >= len(toks) or toks[i].upper() != "WHERE"
+    ):
+        # ground DESCRIBE <iri>...: no pattern to evaluate
+        if out["describe_vars"]:
+            raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE pattern")
+        out["where"] = None
+    elif form == "ASK" and toks[i] == "{":
         # ASK { ... } — the WHERE keyword is optional (spec §17)
         out["where"], i = _parse_group(toks, i + 1, prefixes)
     else:
@@ -728,11 +755,11 @@ def _parse_toks(toks: list[str]) -> dict:
     i = _parse_modifiers(toks, i, prefixes, out)
     if i < len(toks):
         raise SparqlSyntaxError(f"unexpected trailing token {toks[i]!r}")
-    if form == "ASK" and (
+    if form in ("ASK", "DESCRIBE") and (
         out["order_by"] or out["limit"] is not None or out["offset"]
         or out["group_by"] or out["having"] is not None
     ):
-        raise SparqlSyntaxError("ASK takes no solution modifiers")
+        raise SparqlSyntaxError(f"{form} takes no solution modifiers")
     _validate_select(out)
     return out
 
@@ -1268,7 +1295,44 @@ def run_sparql(
 
     if q["from_graphs"] and "graph" in triples.columns:
         triples = triples.filter(F.col("graph").isin(q["from_graphs"]))
-    sols, nulls = _compile_group(triples, q["where"], max_path_hops)
+    sols, nulls = (None, set())
+    if q["where"] is not None:
+        sols, nulls = _compile_group(triples, q["where"], max_path_hops)
+
+    if q["form"] == "DESCRIBE":
+        # simple subject description: every store triple whose
+        # subject is a described resource (SPARQL leaves DESCRIBE's
+        # exact shape to the service — spec §16.4; the store has no
+        # blank nodes, so subject rows ARE the bounded description)
+        cols = ["subj", "pred", "obj", "obj_is_uri"] + [
+            c for c in ("lang", "datatype") if c in triples.columns
+        ]
+        proj = triples.select(*cols)
+        if sols is None:
+            # ground-only form: isin pushes into the parquet scan
+            return proj.filter(
+                F.col("subj").isin(q["describe_iris"])
+            ).distinct()
+        res = None
+        for v in q["describe_vars"]:
+            if v not in sols.columns:
+                raise SparqlSyntaxError(
+                    f"DESCRIBE variable ?{v} is not bound by the pattern"
+                )
+            part = sols.select(F.col(v).alias("_d")).filter(
+                F.col("_d").isNotNull()
+            )
+            res = part if res is None else res.unionByName(part)
+        if q["describe_iris"]:
+            idf = sols.sparkSession.createDataFrame(
+                [(u,) for u in q["describe_iris"]], "_d string"
+            )
+            res = idf if res is None else res.unionByName(idf)
+        # resource set is small relative to the store: distinct then
+        # semi-join (AQE broadcasts it)
+        return proj.join(
+            res.distinct(), F.col("subj") == F.col("_d"), "left_semi"
+        ).distinct()
 
     if q["form"] == "ASK":
         # boolean existence probe, kept lazy and distributed: LIMIT 1

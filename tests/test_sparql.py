@@ -107,7 +107,8 @@ def test_star_path_with_ground_endpoint(spark, g):
 
 def test_unsupported_syntax_raises(spark):
     with pytest.raises(SparqlSyntaxError):
-        parse_sparql("DESCRIBE <http://ex.org/d1>")
+        # SPARQL Update is a different protocol surface entirely
+        parse_sparql("INSERT DATA { <a> <b> <c> }")
     with pytest.raises(SparqlSyntaxError):
         parse_sparql("SELECT ?s WHERE { ?s x ?o }")  # bare non-keyword term
 
@@ -886,5 +887,31 @@ def test_subquery_syntax_errors(g):
         # aggregated subquery still validates grouping
         "SELECT ?d WHERE { { SELECT ?d ?x (COUNT(?x) AS ?n) WHERE { ?d <a> ?x } GROUP BY ?d } }",
     ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
+
+
+def test_describe_form(g):
+    """DESCRIBE returns the simple subject description in the engine
+    triples schema: a pushed isin scan for ground IRIs, a semi-join
+    for pattern-bound variables."""
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_sparql(g, "DESCRIBE <d2>").collect()
+    }
+    assert got == {
+        ("d2", "type", "Doc"), ("d2", "title", "Beta"),
+        ("d2", "issued", "1999-06"),
+    }
+    # variable form: describe whatever d1#s1 references (= d2)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in run_sparql(
+            g, "DESCRIBE ?x WHERE { <d1#s1> <references> ?x }"
+        ).collect()
+    }
+    assert {s for s, _, _ in got} == {"d2"} and len(got) == 3
+    for bad in ["DESCRIBE", "DESCRIBE ?d", "DESCRIBE <d1> LIMIT 2",
+                "DESCRIBE ?z WHERE { ?d <references> ?x }"]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
