@@ -16,7 +16,9 @@ query text runs against the Spark triples table:
   dataset, aggregation/LIMIT before the outward compatible join —
   spec §12) · FROM <g> dataset clauses · basic graph
   patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
-  { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) · FILTER with
+  { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) (keeps term
+  metadata) and BIND(expr AS ?b) with CONCAT/UCASE/LCASE/STRLEN/
+  SUBSTR/REPLACE/IF/COALESCE/ABS/ROUND/CEIL/FLOOR · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
   CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype(),
   REGEX(?v, "pat"[, "imsq"]) -> RLIKE, LANGMATCHES(LANG(?v), "range")
@@ -145,6 +147,7 @@ def _empty_group() -> dict:
         "values": [],
         "subgroups": [],
         "subselects": [],
+        "binds_expr": [],
     }
 
 
@@ -217,19 +220,45 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             g["graphs"].append((gterm, sub))
             continue
         if t.upper() == "BIND":
-            # the corpus' only BIND form: BIND(?src AS ?dst)
-            ok = (
-                i + 5 < len(toks)
-                and toks[i + 1] == "("
-                and toks[i + 2].startswith("?")
-                and toks[i + 3].upper() == "AS"
-                and toks[i + 4].startswith("?")
-                and toks[i + 5] == ")"
-            )
-            if not ok:
-                raise SparqlSyntaxError("only BIND(?var AS ?var) supported")
-            g["binds"].append((toks[i + 2][1:], toks[i + 4][1:]))
-            i += 6
+            # BIND(?src AS ?dst) keeps term metadata (the corpus'
+            # form); BIND(expr AS ?dst) compiles the expression via
+            # the FILTER translator (CONCAT/IF/COALESCE/UCASE/... )
+            if toks[i + 1] != "(":
+                raise SparqlSyntaxError("BIND needs '( expr AS ?var )'")
+            depth, j = 1, i + 2
+            while j < len(toks) and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlSyntaxError("unbalanced BIND parens")
+            inner = toks[i + 2 : j - 1]
+            d2, k_as = 0, None
+            for k, tk in enumerate(inner):
+                if tk == "(":
+                    d2 += 1
+                elif tk == ")":
+                    d2 -= 1
+                elif d2 == 0 and tk.upper() == "AS":
+                    k_as = k
+            if (
+                k_as is None
+                or k_as != len(inner) - 2
+                or not inner[-1].startswith("?")
+            ):
+                raise SparqlSyntaxError("BIND needs '( expr AS ?var )'")
+            dst = inner[-1][1:]
+            expr = inner[:k_as]
+            if len(expr) == 1 and expr[0].startswith("?"):
+                g["binds"].append((expr[0][1:], dst))
+            else:
+                refs = [tk[1:] for tk in expr if tk.startswith("?")]
+                g["binds_expr"].append(
+                    (_filter_sql(expr, prefixes), dst, refs)
+                )
+            i = j
             continue
         if t.upper() == "VALUES":
             # inline data, single-variable form: VALUES ?v { t1 t2 }
@@ -397,6 +426,27 @@ def _emit_path(g: dict, s: str, alts: list, o: str, prefixes: dict) -> None:
 
 
 _FILTER_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "="}
+
+#: SPARQL function -> Spark SQL function, 1:1 argument order.
+#: SUBSTR is 1-based in both; REPLACE is regex-based in both.
+_SQL_FUNCS = {
+    "CONCAT": "concat",
+    "UCASE": "upper",
+    "LCASE": "lower",
+    "STRLEN": "length",
+    "SUBSTR": "substring",
+    "REPLACE": "regexp_replace",
+    "IF": "if",
+    "COALESCE": "coalesce",
+    "ABS": "abs",
+    "ROUND": "round",
+    "CEIL": "ceil",
+    "FLOOR": "floor",
+    # deliberately absent: STRBEFORE/STRAFTER (Spark substring_index
+    # returns the whole string when the separator is missing where
+    # SPARQL returns ""), ENCODE_FOR_URI (url_encode is form-encoding,
+    # space becomes '+' not %20) — map only where semantics are exact
+}
 
 #: aggregate keyword -> handled by _parse_agg / _agg_sql
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -597,6 +647,12 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                 )
             i += 9
             continue
+        elif u in _SQL_FUNCS:
+            # direct SPARQL->Spark SQL function mapping; arity and
+            # argument types are checked by the Spark analyzer at
+            # plan time (driver-side AnalysisException, not a task
+            # failure)
+            out.append(_SQL_FUNCS[u])
         elif u == "IN":
             out.append("IN")
         elif t in ("(", ")", ","):
@@ -1122,6 +1178,22 @@ def _compile_group(
         for m in ("_isuri_", "_lang_", "_dt_"):
             if f"{m}{src}" in df.columns:
                 df = df.withColumn(f"{m}{dst}", F.col(f"{m}{src}"))
+    for sql, dst, refs in g["binds_expr"]:
+        # expression BIND: result is a computed plain literal (cast
+        # to the engine's string term type, no lang/datatype)
+        if dst in df.columns:
+            raise SparqlSyntaxError(
+                f"BIND would rebind already-bound variable ?{dst}"
+            )
+        for r in refs:
+            if r not in df.columns:
+                raise SparqlSyntaxError(
+                    f"BIND expression references unbound variable ?{r}"
+                )
+        df = df.withColumn(dst, F.expr(sql).cast("string"))
+        df = df.withColumn(f"_isuri_{dst}", F.lit(False))
+        if any(r in nulls for r in refs):
+            nulls.add(dst)
     for kind, sub in g["minus"]:
         # negation compiles to a LEFT ANTI join on the shared
         # variables — the engine's native anti-join (J8), one

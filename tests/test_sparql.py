@@ -915,3 +915,39 @@ def test_describe_form(g):
                 "DESCRIBE ?z WHERE { ?d <references> ?x }"]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_bind_expressions(g):
+    """BIND(expr AS ?v): CONCAT/IF/COALESCE/UCASE/SUBSTR compile via
+    the FILTER translator into plan-time Spark SQL expressions; the
+    result is a plain computed literal usable by later FILTERs."""
+    got = run_sparql(
+        g,
+        """SELECT ?s ?label WHERE { ?s <type> <Doc> . ?s <title> ?t .
+           BIND(CONCAT(?s, ": ", ?t) AS ?label) }""",
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("d1", "d1: Alpha"), ("d2", "d2: Beta")
+    ]
+    got = run_sparql(
+        g,
+        """SELECT ?s ?v WHERE { ?s <type> <Doc> .
+           OPTIONAL { ?s <publisher> ?p }
+           BIND(COALESCE(?p, "none") AS ?v) }""",
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "org1"), ("d2", "none")]
+    # BIND output feeding a later FILTER in the same group
+    got = run_sparql(
+        g,
+        """SELECT ?s WHERE { ?s <title> ?t . BIND(UCASE(?t) AS ?u) .
+           FILTER(?u = "BETA") }""",
+    ).collect()
+    assert [r["s"] for r in got] == ["d2"]
+    for bad in [
+        # unbound reference, rebinding, missing AS
+        "SELECT ?s WHERE { ?s <title> ?t . BIND(CONCAT(?nope) AS ?x) }",
+        "SELECT ?s WHERE { ?s <title> ?t . BIND(UCASE(?t) AS ?t) }",
+        "SELECT ?s WHERE { ?s <title> ?t . BIND(UCASE(?t) ?x) }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
