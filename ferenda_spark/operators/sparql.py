@@ -90,7 +90,7 @@ _TOKEN_RE = re.compile(
     | [{}().;,/^]                               # punctuation / path ops
     | [*+]                                      # standalone path modifier
     | \|\| | && | != | <= | >=                  # two-char operators
-    | [<>=!|&]                                  # one-char operators
+    | [<>=!|&-]                                 # one-char operators
                                                 #  (never merged runs: '|<iri>'
                                                 #  must not lex as one token)
     """,
@@ -148,6 +148,7 @@ def _empty_group() -> dict:
         "subgroups": [],
         "subselects": [],
         "binds_expr": [],
+        "values_multi": [],
     }
 
 
@@ -261,20 +262,54 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             i = j
             continue
         if t.upper() == "VALUES":
-            # inline data, single-variable form: VALUES ?v { t1 t2 }
-            # — compiles to an isin() filter Catalyst pushes into the
-            # pattern scans (the multi-variable table form is not
-            # used by any reference query; refused)
-            if not toks[i + 1].startswith("?") or toks[i + 2] != "{":
+            # single-variable form VALUES ?v { t1 t2 } compiles to an
+            # isin() filter Catalyst pushes into the pattern scans;
+            # the table form VALUES (?a ?b) { ("x" "y") ... } to a
+            # broadcast inner join on a literal DataFrame.  UNDEF is
+            # refused (it would need compatible-merge per cell).
+            if toks[i + 1].startswith("?") and toks[i + 2] == "{":
+                var = toks[i + 1][1:]
+                j = toks.index("}", i + 3)
+                vals = [_resolve(tk, prefixes) for tk in toks[i + 3 : j]]
+                if not vals:
+                    raise SparqlSyntaxError("empty VALUES list")
+                g["values"].append((var, vals))
+                i = j + 1
+                continue
+            if toks[i + 1] != "(":
                 raise SparqlSyntaxError(
-                    "only single-variable VALUES ?v { ... } supported"
+                    "VALUES needs ?v { ... } or (?v ...) { (...) ... }"
                 )
-            var = toks[i + 1][1:]
-            j = toks.index("}", i + 3)
-            vals = [_resolve(tk, prefixes) for tk in toks[i + 3 : j]]
-            if not vals:
-                raise SparqlSyntaxError("empty VALUES list")
-            g["values"].append((var, vals))
+            j = i + 2
+            vars_ = []
+            while j < len(toks) and toks[j].startswith("?"):
+                vars_.append(toks[j][1:])
+                j += 1
+            if not vars_ or toks[j] != ")" or toks[j + 1] != "{":
+                raise SparqlSyntaxError(
+                    "VALUES table form needs (?v ...) { (...) ... }"
+                )
+            j += 2
+            rows = []
+            while j < len(toks) and toks[j] == "(":
+                row, j = [], j + 1
+                while j < len(toks) and toks[j] != ")":
+                    if toks[j].upper() == "UNDEF":
+                        raise SparqlSyntaxError(
+                            "UNDEF in VALUES is not supported — it "
+                            "needs per-cell compatible-merge"
+                        )
+                    row.append(_resolve(toks[j], prefixes))
+                    j += 1
+                if j >= len(toks) or len(row) != len(vars_):
+                    raise SparqlSyntaxError(
+                        "VALUES row arity mismatch or unclosed row"
+                    )
+                rows.append(tuple(row))
+                j += 1
+            if j >= len(toks) or toks[j] != "}" or not rows:
+                raise SparqlSyntaxError("malformed VALUES table")
+            g["values_multi"].append((vars_, rows))
             i = j + 1
             continue
         if t.upper() == "MINUS":
@@ -442,10 +477,11 @@ _SQL_FUNCS = {
     "ROUND": "round",
     "CEIL": "ceil",
     "FLOOR": "floor",
-    # deliberately absent: STRBEFORE/STRAFTER (Spark substring_index
-    # returns the whole string when the separator is missing where
-    # SPARQL returns ""), ENCODE_FOR_URI (url_encode is form-encoding,
-    # space becomes '+' not %20) — map only where semantics are exact
+    # deliberately absent: ENCODE_FOR_URI (Spark url_encode is
+    # form-encoding, space becomes '+' not %20) — map only where
+    # semantics are exact.  STRBEFORE/STRAFTER are special forms
+    # below (substring_index alone diverges on a missing separator:
+    # it returns the whole string where SPARQL returns "")
 }
 
 #: aggregate keyword -> handled by _parse_agg / _agg_sql
@@ -647,6 +683,34 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                 )
             i += 9
             continue
+        elif u in ("STRBEFORE", "STRAFTER"):
+            # exact SPARQL semantics including the missing-separator
+            # case (SPARQL: "", Spark substring_index: whole string)
+            # and the empty separator (STRBEFORE→"", STRAFTER→s,
+            # which instr('x','')==1 gives for free)
+            if not (
+                i + 5 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ","
+                and toks[i + 4].startswith('"')
+                and toks[i + 5] == ")"
+            ):
+                raise SparqlSyntaxError(f'{t} needs (?var, "separator")')
+            v = toks[i + 2][1:]
+            sep = _resolve(toks[i + 4], prefixes).replace("'", "''")
+            pos = f"instr({v}, '{sep}')"
+            if u == "STRBEFORE":
+                out.append(
+                    f"if({pos} > 0, substring({v}, 1, {pos} - 1), '')"
+                )
+            else:
+                out.append(
+                    f"if({pos} > 0, "
+                    f"substring({v}, {pos} + length('{sep}')), '')"
+                )
+            i += 6
+            continue
         elif u in _SQL_FUNCS:
             # direct SPARQL->Spark SQL function mapping; arity and
             # argument types are checked by the Spark analyzer at
@@ -655,6 +719,13 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             out.append(_SQL_FUNCS[u])
         elif u == "IN":
             out.append("IN")
+        elif t in ("+", "-", "*", "/"):
+            # binary numeric arithmetic; operand vars are TRY_CAST to
+            # DOUBLE by _numeric_casts (type-error row drops, and
+            # double division by zero is IEEE Infinity, never an ANSI
+            # task failure).  Unary minus is not supported — a
+            # leading '-' has no left operand and raises downstream.
+            out.append(t)
         elif t in ("(", ")", ","):
             out.append(t)
         elif t in _FILTER_OPS:
@@ -680,11 +751,47 @@ def _numeric_casts(out: list[str]) -> list[str]:
     keeps lexical forms, so a comparison against a bare number casts
     the variable side (TRY_CAST: a non-numeric value becomes NULL
     and the row drops — the relational reading of SPARQL's
-    type-error-drops-solution rule, and ANSI-mode safe)."""
+    type-error-drops-solution rule, and ANSI-mode safe).  Arithmetic
+    operators cast BOTH variable operands — string + string would
+    otherwise be an ANSI analysis error."""
     ops = {"<", ">", "<=", ">=", "=", "!="}
+    arith = {"+", "-", "*", "/"}
+
+    # fold unary minus into its numeric literal first ("-" is unary
+    # when nothing operand-shaped precedes it), so '-5' is one token
+    # for the cast logic below
+    merged: list[str] = []
+    for tok in out:
+        if (
+            merged
+            and merged[-1] == "-"
+            and re.fullmatch(r"\d+(\.\d+)?", tok)
+            and (
+                len(merged) < 2
+                or not (
+                    re.fullmatch(r"[A-Za-z_]\w*|\)|-?\d+(\.\d+)?", merged[-2])
+                    or merged[-2].startswith("'")
+                )
+            )
+        ):
+            merged[-1] = "-" + tok
+        else:
+            merged.append(tok)
+    out = merged
+
+    def cast_ident(k):
+        if re.fullmatch(r"[A-Za-z_]\w*", out[k]) and out[k].upper() not in (
+            "AND", "OR", "NOT", "IN",
+        ):
+            out[k] = f"TRY_CAST({out[k]} AS DOUBLE)"
+
+    for k, t in enumerate(out):
+        if t in arith and 0 < k < len(out) - 1:
+            cast_ident(k - 1)
+            cast_ident(k + 1)
 
     def is_num(t):
-        return bool(re.fullmatch(r"\d+(\.\d+)?", t))
+        return bool(re.fullmatch(r"-?\d+(\.\d+)?", t))
 
     def is_ident(t):
         return bool(re.fullmatch(r"[A-Za-z_]\w*", t)) and t.upper() not in (
@@ -1227,6 +1334,23 @@ def _compile_group(
                 "supported — bind it unconditionally first"
             )
         df = df.filter(F.col(var).isin(vals))
+    for vars_, rows in g["values_multi"]:
+        # table form: explicit-broadcast inner join on the inline
+        # rows (query-sized by construction, never the store)
+        for v in vars_:
+            if v not in df.columns:
+                raise SparqlSyntaxError(
+                    f"VALUES variable ?{v} is not bound by the group"
+                )
+            if v in nulls:
+                raise SparqlSyntaxError(
+                    f"VALUES over maybe-unbound variable ?{v} is not "
+                    "supported — bind it unconditionally first"
+                )
+        vdf = df.sparkSession.createDataFrame(
+            list(rows), ", ".join(f"{v} string" for v in vars_)
+        ).distinct()
+        df = df.join(F.broadcast(vdf), list(vars_), "inner")
     for f in g["filters"]:
         # term-metadata functions on a variable bound only in
         # subject/predicate position: those are IRIs by RDF

@@ -951,3 +951,68 @@ def test_bind_expressions(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_strbefore_strafter_exact(g):
+    """STRBEFORE/STRAFTER with SPARQL's exact edge semantics: missing
+    separator yields "", empty separator yields ""/the whole string —
+    the cases a bare substring_index mapping would get wrong."""
+    got = run_sparql(
+        g,
+        'SELECT ?s ?b WHERE { ?s <issued> ?d . '
+        'BIND(STRBEFORE(?d, "-") AS ?b) }',
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "2004"), ("d2", "1999")]
+    got = run_sparql(
+        g,
+        'SELECT ?s ?b WHERE { ?s <issued> ?d . '
+        'BIND(STRAFTER(?d, "-") AS ?b) }',
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "01"), ("d2", "06")]
+    # missing separator -> "" (Spark substring_index would return ?d)
+    got = run_sparql(
+        g,
+        'SELECT ?b WHERE { <d1> <issued> ?d . '
+        'BIND(STRBEFORE(?d, "/") AS ?b) }',
+    ).collect()
+    assert [r["b"] for r in got] == [""]
+
+
+def test_numeric_arithmetic(g):
+    """Binary + - * / over TRY_CAST doubles; unary minus folds into
+    numeric literals; non-numeric operands drop the row (FILTER) or
+    yield NULL (BIND) — never an ANSI task failure."""
+    got = run_sparql(
+        g,
+        'SELECT ?s WHERE { ?s <issued> ?d . '
+        'BIND(STRBEFORE(?d, "-") AS ?y) . FILTER(?y + 1 > 2000) }',
+    ).collect()
+    assert [r["s"] for r in got] == ["d1"]
+    got = run_sparql(
+        g,
+        'SELECT ?s WHERE { ?s <issued> ?d . '
+        'BIND(STRBEFORE(?d, "-") AS ?y) . FILTER(?y - 2004 < -1) }',
+    ).collect()
+    assert [r["s"] for r in got] == ["d2"]
+    # a non-numeric var in arithmetic: TRY_CAST -> NULL -> row drops
+    got = run_sparql(
+        g, "SELECT ?s WHERE { ?s <title> ?t . FILTER(?t * 2 > 0) }"
+    ).collect()
+    assert got == []
+
+
+def test_values_table_form(g):
+    """Multi-variable VALUES compiles to an explicit-broadcast inner
+    join on the inline rows."""
+    got = run_sparql(
+        g,
+        """SELECT ?s ?t WHERE { ?s <title> ?t .
+           VALUES (?s ?t) { (<d1> "Alpha") (<d2> "WRONG") } }""",
+    ).collect()
+    assert [tuple(r) for r in got] == [("d1", "Alpha")]
+    for bad in [
+        'SELECT ?s WHERE { ?s <title> ?t . VALUES (?s ?t) { (<d1> UNDEF) } }',
+        'SELECT ?s WHERE { ?s <title> ?t . VALUES (?s ?t) { (<d1>) } }',
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
