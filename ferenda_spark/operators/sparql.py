@@ -29,10 +29,10 @@ query text runs against the Spark triples table:
   a/b (rewritten to a chain of patterns through hidden fresh vars),
   inverse ^a (swapped endpoints), alternation a|b (a UNION of
   branches; SPARQL precedence — sequence binds tighter) ·
-  MINUS / FILTER NOT EXISTS
-  (a LEFT ANTI join on shared variables; with disjoint domains the
-  two forms get their exact divergent spec semantics — MINUS keeps
-  everything, NOT EXISTS is an all-or-nothing probe) ·
+  MINUS / FILTER NOT EXISTS / FILTER EXISTS
+  (LEFT ANTI / LEFT SEMI joins on shared variables; with disjoint
+  domains each form gets its exact divergent spec semantics — MINUS
+  keeps everything, [NOT] EXISTS is an all-or-nothing probe) ·
   UNION branches that skip a join variable (exact compatible-merge:
   per-branch equi-joins, NULL-signature split for per-row unbound
   join vars — see _compat_join) ·
@@ -331,6 +331,18 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             # vs §8.1.1) and the compiler implements both exactly
             sub, i = _parse_group(toks, i + 4, prefixes)
             g["minus"].append(("not_exists", sub))
+            continue
+        if (
+            t.upper() == "FILTER"
+            and i + 2 < len(toks)
+            and toks[i + 1].upper() == "EXISTS"
+            and toks[i + 2] == "{"
+        ):
+            # FILTER EXISTS { ... }: the positive mirror — a
+            # left-semi join on the shared variables (or an
+            # all-or-nothing 1-row probe with disjoint domains)
+            sub, i = _parse_group(toks, i + 3, prefixes)
+            g["minus"].append(("exists", sub))
             continue
         if t.upper() == "FILTER":
             if toks[i + 1] != "(":
@@ -1311,14 +1323,15 @@ def _compile_group(
         # every solution iff the group matches at all.
         mdf, _ = _compile_group(triples, sub, max_path_hops)
         shared = sorted(_visible(df) & _visible(mdf))
+        how = "left_semi" if kind == "exists" else "left_anti"
         if shared:
-            df = df.join(mdf.select(*shared).distinct(), shared, "left_anti")
-        elif kind == "not_exists":
+            df = df.join(mdf.select(*shared).distinct(), shared, how)
+        elif kind in ("not_exists", "exists"):
             # all-or-nothing, kept lazy/distributed: a 1-row probe of
-            # the group; anti-join on an always-true condition keeps
-            # the input iff the probe is empty
+            # the group; (anti|semi)-join on an always-true condition
+            # keeps the input iff the probe is (empty|nonempty)
             probe = mdf.limit(1).select(F.lit(1).alias("_e"))
-            df = df.join(probe, F.lit(True), "left_anti")
+            df = df.join(probe, F.lit(True), how)
         # else: MINUS with disjoint domains is the identity
     for var, vals in g["values"]:
         if var not in df.columns:

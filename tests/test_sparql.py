@@ -1016,3 +1016,31 @@ def test_values_table_form(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_filter_exists_positive(g):
+    """FILTER EXISTS: a left-semi join on shared variables; with a
+    disjoint domain it is an all-or-nothing 1-row probe."""
+    got = run_sparql(
+        g,
+        """SELECT ?s WHERE { ?s <type> <Doc> .
+           FILTER EXISTS { ?x <references> ?s } }""",
+    ).collect()
+    assert sorted(r["s"] for r in got) == ["d1", "d2"]
+    got = run_sparql(
+        g,
+        """SELECT ?s WHERE { ?s <type> <Doc> .
+           FILTER EXISTS { ?s <publisher> ?p } }""",
+    ).collect()
+    assert [r["s"] for r in got] == ["d1"]
+    # disjoint domain: keep all iff the group matches at all
+    assert run_sparql(
+        g,
+        "SELECT ?s WHERE { ?s <type> <Doc> . "
+        "FILTER EXISTS { ?z <partOf> ?w } }",
+    ).count() == 2
+    assert run_sparql(
+        g,
+        "SELECT ?s WHERE { ?s <type> <Doc> . "
+        "FILTER EXISTS { ?z <nope> ?w } }",
+    ).count() == 0
