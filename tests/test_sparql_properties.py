@@ -711,3 +711,41 @@ def test_path_sugar_matches_naive(spark, seed):
         ).collect()
     }
     assert got == want, ("invseq", sorted(triples))
+
+
+# ---------------------------------------------------------------
+# 9. FILTER EXISTS (positive) vs naive semi-filter
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_exists_matches_naive(spark, seed):
+    rnd = random.Random(9500 + seed)
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    triples = list(
+        {
+            (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes + ["L0"]))
+            for _ in range(rnd.randint(4, 12))
+        }
+    )
+    mainp, exp_ = rnd.choice(preds), rnd.choice(preds)
+    text = (
+        "SELECT * WHERE { "
+        f"?a <{mainp}> ?b . FILTER EXISTS {{ ?a <{exp_}> ?c . }} }}"
+    )
+    rows = [
+        (s, p, o, o.startswith("http://"), None, None)
+        for s, p, o in triples
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got_df = run_sparql(g, text)
+    vars_ = sorted(got_df.columns)
+    got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+
+    sols = _naive_match(triples, ("?a", mainp, "?b"), [{}])
+    pos_keys = {m["a"] for m in _naive_match(triples, ("?a", exp_, "?c"), [{}])}
+    want = {
+        tuple(s.get(v) for v in vars_) for s in sols if s["a"] in pos_keys
+    }
+    assert got == want, text
