@@ -424,10 +424,13 @@ def main():
                   ?s dcterms:isPartOf ?d .
                   VALUES ?d { <https://kg.example.org/res/rfc/1> }
                   FILTER NOT EXISTS { ?x dcterms:references ?s . }
+                  FILTER EXISTS { ?s dcterms:isPartOf ?d2 . }
                 }""",
             ),
             [
                 ("negation is a left-anti join", lambda p: "LeftAnti" in p),
+                ("positive EXISTS is a left-semi join",
+                 lambda p: "LeftSemi" in p),
                 # a 1-element VALUES folds to EqualTo; larger lists
                 # push as In — either way it reaches the scan
                 ("VALUES pushed into the scan", lambda p: "PushedFilters" in p
