@@ -797,10 +797,47 @@ def _numeric_casts(out: list[str]) -> list[str]:
         ):
             out[k] = f"TRY_CAST({out[k]} AS DOUBLE)"
 
+    def operand_shaped(t):
+        return bool(
+            re.fullmatch(r"[A-Za-z_]\w*|\)|-?\d+(\.\d+)?", t)
+            or t.startswith("'")
+        )
+
     for k, t in enumerate(out):
-        if t in arith and 0 < k < len(out) - 1:
+        if t in arith and 0 < k < len(out) - 1 and operand_shaped(out[k - 1]):
+            # binary arithmetic over TRY_CAST doubles: a non-castable
+            # variable becomes NULL and the row drops — the engine's
+            # relational reading of SPARQL's numeric-type-error rule
             cast_ident(k - 1)
             cast_ident(k + 1)
+        elif t == "-" and k < len(out) - 1 and (
+            k == 0 or not operand_shaped(out[k - 1])
+        ):
+            # unary numeric negation of a variable
+            cast_ident(k + 1)
+
+    def castable(t):
+        return operand_shaped(t) or t.startswith(("TRY_CAST(", "CAST("))
+
+    # division must be try_divide: Spark ANSI raises DIVIDE_BY_ZERO
+    # even over doubles, where the engine's rule is type-error-drops
+    # (NULL comparison is never true)
+    k = 0
+    while k < len(out):
+        if out[k] == "/":
+            if (
+                k == 0
+                or k == len(out) - 1
+                or not castable(out[k - 1])
+                or not castable(out[k + 1])
+            ):
+                raise SparqlSyntaxError(
+                    "division operands must be simple terms "
+                    "(variable or number)"
+                )
+            out[k - 1 : k + 2] = [f"try_divide({out[k - 1]}, {out[k + 1]})"]
+            continue
+        k += 1
 
     def is_num(t):
         return bool(re.fullmatch(r"-?\d+(\.\d+)?", t))

@@ -1044,3 +1044,32 @@ def test_filter_exists_positive(g):
         "SELECT ?s WHERE { ?s <type> <Doc> . "
         "FILTER EXISTS { ?z <nope> ?w } }",
     ).count() == 0
+
+
+def test_division_and_unary_minus_ansi_safe(spark):
+    """Division compiles to try_divide (Spark ANSI raises
+    DIVIDE_BY_ZERO even over doubles): x/0 makes the comparison NULL
+    and the row drops — never a task failure.  Unary minus negates
+    over a TRY_CAST double."""
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "1.5", False, None, None),
+            ("b", "p", "-2.5", False, None, None),
+            ("c", "p", "0", False, None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    assert run_sparql(
+        t, "SELECT ?s WHERE { ?s <p> ?v . FILTER(?v / 0 > 1) }"
+    ).count() == 0
+    got = run_sparql(
+        t, "SELECT ?s WHERE { ?s <p> ?v . FILTER(3 / ?v > 1) }"
+    ).collect()
+    assert [r["s"] for r in got] == ["a"]
+    got = run_sparql(
+        t, "SELECT ?s WHERE { ?s <p> ?v . FILTER(- ?v > 1) }"
+    ).collect()
+    assert [r["s"] for r in got] == ["b"]
+    with pytest.raises(SparqlSyntaxError):
+        run_sparql(t, "SELECT ?s WHERE { ?s <p> ?v . FILTER(?v / 2 / 2 > 0) }")
