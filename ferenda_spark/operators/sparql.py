@@ -22,9 +22,13 @@ query text runs against the Spark triples table:
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
   CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype(),
   REGEX(?v, "pat"[, "imsq"]) -> RLIKE, LANGMATCHES(LANG(?v), "range")
-  (RFC 4647 basic filtering)
+  (RFC 4647 basic filtering), exact STRBEFORE/STRAFTER special
+  forms, binary + - * / and unary minus over TRY_CAST doubles
+  (division is try_divide — a type error or /0 drops the row, never
+  an ANSI task failure)
   · VALUES ?v { ... } (an
-  isin() filter, pushed into the pattern scans) · property paths
+  isin() filter, pushed into the pattern scans) and the table form
+  VALUES (?a ?b) { (..) .. } (broadcast inner join) · property paths
   pred+ / pred* / pred{m,n} (bounded; see graphquery), sequences
   a/b (rewritten to a chain of patterns through hidden fresh vars),
   inverse ^a (swapped endpoints), alternation a|b (a UNION of
