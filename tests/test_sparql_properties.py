@@ -749,3 +749,57 @@ def test_exists_matches_naive(spark, seed):
         tuple(s.get(v) for v in vars_) for s in sols if s["a"] in pos_keys
     }
     assert got == want, text
+
+
+# ---------------------------------------------------------------
+# 10. subqueries (plain and grouped top-k) vs naive bottom-up eval
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_subquery_matches_naive(spark, seed):
+    rnd = random.Random(9700 + seed)
+    nodes = [EX + f"n{i}" for i in range(5)]
+    P, Q = EX + "p", EX + "q"
+    triples = list(
+        {
+            (rnd.choice(nodes), rnd.choice([P, Q]), rnd.choice(nodes))
+            for _ in range(rnd.randint(5, 16))
+        }
+    )
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    p_edges = {(s, o) for s, p, o in triples if p == P}
+    q_edges = {(s, o) for s, p, o in triples if p == Q}
+
+    # plain projection subquery == semi restriction on ?a
+    got = {
+        tuple(r)
+        for r in run_sparql(
+            g,
+            f"""SELECT ?a ?b WHERE {{ ?a <{P}> ?b .
+                {{ SELECT ?a WHERE {{ ?a <{Q}> ?c }} }} }}""",
+        ).collect()
+    }
+    want = {(a, b) for a, b in p_edges if any(s == a for s, _ in q_edges)}
+    assert got == want, sorted(triples)
+
+    # grouped top-k subquery joined outward, counts included
+    k = rnd.randint(1, 3)
+    got = {
+        tuple(r)
+        for r in run_sparql(
+            g,
+            f"""SELECT ?a ?b ?n WHERE {{ ?a <{P}> ?b .
+                {{ SELECT ?a (COUNT(?c) AS ?n) WHERE {{ ?a <{Q}> ?c }}
+                   GROUP BY ?a ORDER BY DESC(?n) ?a LIMIT {k} }} }}""",
+        ).collect()
+    }
+    counts = {}
+    for s, _ in q_edges:
+        counts[s] = counts.get(s, 0) + 1
+    topk = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = {
+        (a, b, n) for a, n in topk for a2, b in p_edges if a2 == a
+    }
+    assert got == want, (sorted(triples), k)
