@@ -71,6 +71,7 @@ HEADLINE = [
     "kg_sparql_neg",
     "kg_sparql_agg",
     "kg_sparql_topk",
+    "kg_sparql_pathgroup",
 ]
 
 

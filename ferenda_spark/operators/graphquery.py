@@ -50,20 +50,17 @@ def _vname(term: str) -> str:
     return term[1:]
 
 
-def property_path(
-    triples: DataFrame, pred: str, min_hops: int = 1, max_hops: int = 3
+def closure_pairs(
+    step: DataFrame, min_hops: int = 1, max_hops: int = 3
 ) -> DataFrame:
-    """(src, dst) pairs connected by `pred` chains of min..max hops —
-    the bounded reading of SPARQL's `pred+` (the unbounded closure is
-    a non-starter at 10^12 triples; the reference itself bounds its
-    isPartOf* annotation walk to 3, documentrepository.py via
-    relate.annotations).  One selective scan of the predicate, then
-    max_hops-1 self-joins on the frontier; each hop's frontier is the
-    only thing shuffled, and containment-style predicates fan out
-    sublinearly so the frontier shrinks as it climbs."""
-    step = triples.filter(F.col("pred") == pred).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
+    """Bounded transitive closure of an arbitrary (src, dst) edge
+    relation: pairs connected by chains of min..max composed steps.
+    The unbounded closure is a non-starter at 10^12 triples; the
+    reference itself bounds its isPartOf* annotation walk to 3
+    (documentrepository.py via relate.annotations).  max_hops-1
+    self-joins on the frontier; each hop's frontier is the only
+    thing shuffled, and containment-style edges fan out sublinearly
+    so the frontier shrinks as it climbs."""
     out = step if min_hops <= 1 else None
     hop = step
     for i in range(2, max_hops + 1):
@@ -75,6 +72,18 @@ def property_path(
         if i >= min_hops:
             out = hop if out is None else out.union(hop)
     return out.distinct()
+
+
+def property_path(
+    triples: DataFrame, pred: str, min_hops: int = 1, max_hops: int = 3
+) -> DataFrame:
+    """(src, dst) pairs connected by `pred` chains of min..max hops —
+    the bounded reading of SPARQL's `pred+`.  One selective scan of
+    the predicate (pushed down to the store), then closure_pairs."""
+    step = triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return closure_pairs(step, min_hops, max_hops)
 
 
 #: path-quantifier suffix on a predicate string: pred{m,n} / pred{n}
@@ -102,10 +111,89 @@ def _path_bounds(p: str, max_path_hops: int):
     return p[: m.start()], lo, hi
 
 
+def _alts_pairs(triples: DataFrame, alts, max_path_hops: int) -> DataFrame:
+    """Compile a composite path body — alternation branches of
+    sequences of (inverted, pred) steps, the payload of a
+    parenthesized SPARQL path — to one (src, dst) edge relation.
+    Each step is a selective predicate scan (or its own bounded
+    closure when the element carries a quantifier with a ≥1 lower
+    bound); a sequence chains steps with equi-joins, an alternation
+    unions branches.  Purely relational: at 10^12 triples this is
+    the edge-relation materialization a Sempala-style engine feeds
+    its closure operator."""
+    branches = []
+    for seq in alts:
+        pairs = None
+        for inv, p in seq:
+            if _is_var(p):
+                raise ValueError(
+                    "variable predicates inside a quantified "
+                    "parenthesized path are not supported"
+                )
+            bounds = _path_bounds(p, max_path_hops)
+            if bounds is not None:
+                base, lo, hi = bounds
+                if lo == 0:
+                    # a zero-hop element inside a composed edge body
+                    # would need the store's node set as identity —
+                    # rewrite (a?/b)+ style queries to spell the
+                    # cases out instead of guessing
+                    raise ValueError(
+                        "zero-lower-bound element quantifier inside "
+                        "a quantified parenthesized path is not "
+                        "supported"
+                    )
+                step = property_path(triples, base, lo, hi)
+            else:
+                step = triples.filter(F.col("pred") == p).select(
+                    F.col("subj").alias("src"), F.col("obj").alias("dst")
+                )
+            if inv:
+                step = step.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            if pairs is None:
+                pairs = step
+            else:
+                pairs = (
+                    pairs.alias("a")
+                    .join(
+                        step.alias("b"),
+                        F.col("a.dst") == F.col("b.src"),
+                        "inner",
+                    )
+                    .select(
+                        F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst"),
+                    )
+                )
+        branches.append(pairs)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out.distinct()
+
+
+def _pred_closure(p, max_path_hops: int):
+    """(inner, lo, hi) when the predicate term is closure-shaped —
+    a string with a quantifier suffix (pred+ / pred* / pred{m,n})
+    or the SPARQL parser's ("path", alts, lo, hi) marker for a
+    quantified parenthesized path (hi None = engine bound) — else
+    None.  `inner` is the base predicate string or the alts body."""
+    if isinstance(p, tuple) and p and p[0] == "path":
+        _, alts, lo, hi = p
+        return alts, lo, (max_path_hops if hi is None else hi)
+    if isinstance(p, str) and not _is_var(p):
+        return _path_bounds(p, max_path_hops)
+    return None
+
+
 def _path_pattern_df(
-    triples: DataFrame, s, base: str, o, min_hops: int, max_hops: int
+    triples: DataFrame, s, base, o, min_hops: int, max_hops: int,
+    max_path_hops: int = 3,
 ) -> DataFrame:
-    """Compile a path pattern (pred+ / pred* / pred{m,n}, bounded).
+    """Compile a path pattern (pred+ / pred* / pred{m,n} or a
+    quantified parenthesized body, bounded).
 
     min_hops=0 is SPARQL zero-or-more: ground endpoints filter the
     pair set — pushed into the hop joins by Catalyst — and
@@ -115,7 +203,14 @@ def _path_pattern_df(
     endpoint where the query allows (the reference's isPartOf*
     always has one)."""
     zero = min_hops == 0
-    pairs = property_path(triples, base, max(min_hops, 1), max_hops)
+    if isinstance(base, str):
+        pairs = property_path(triples, base, max(min_hops, 1), max_hops)
+    else:
+        pairs = closure_pairs(
+            _alts_pairs(triples, base, max_path_hops),
+            max(min_hops, 1),
+            max_hops,
+        )
     if zero:
         spark_range = triples.sparkSession.range(1)
         if not _is_var(o):
@@ -160,11 +255,10 @@ def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFram
     (bounded transitive closure; a zero lower bound includes the
     zero-hop identity)."""
     s, p, o = pattern
-    if isinstance(p, str) and not _is_var(p):
-        bounds = _path_bounds(p, max_path_hops)
-        if bounds is not None:
-            base, lo, hi = bounds
-            return _path_pattern_df(triples, s, base, o, lo, hi)
+    bounds = _pred_closure(p, max_path_hops)
+    if bounds is not None:
+        base, lo, hi = bounds
+        return _path_pattern_df(triples, s, base, o, lo, hi, max_path_hops)
     df = triples
     cols, seen = [], {}
     for term, src in ((s, "subj"), (p, "pred"), (o, "obj")):
@@ -237,13 +331,15 @@ def _join_pattern(triples, df, pat, max_path_hops) -> DataFrame:
     `?uri dcterms:isPartOf* ?baseuri` stays store-scan-free at
     10^12 triples."""
     s, p, o = pat
-    if df is not None and isinstance(p, str) and not _is_var(p):
-        bounds = _path_bounds(p, max_path_hops)
+    if df is not None and not _is_var(p):
+        bounds = _pred_closure(p, max_path_hops)
         if bounds and bounds[1] == 0 and _is_var(s) and _is_var(o):
             base, _, hi = bounds
             sv, ov, vis = _vname(s), _vname(o), _visible(df)
             if sv in vis or ov in vis:
-                pos = _path_pattern_df(triples, s, base, o, 1, hi)
+                pos = _path_pattern_df(
+                    triples, s, base, o, 1, hi, max_path_hops
+                )
                 joined = _join(df, pos)
                 if sv in vis and ov in vis:
                     ident = df.filter(F.col(sv) == F.col(ov))
@@ -270,10 +366,10 @@ def _vv_zero_path(t) -> bool:
     endpoint is already bound (see _join_pattern) — so ordering must
     never let one lead a group it shares variables with."""
     s, p, o = t
-    if not (_is_var(s) and _is_var(o) and isinstance(p, str) and not _is_var(p)):
+    if not (_is_var(s) and _is_var(o) and not _is_var(p)):
         return False
     try:
-        bounds = _path_bounds(p, 3)
+        bounds = _pred_closure(p, 3)
     except ValueError:
         return False
     return bounds is not None and bounds[1] == 0

@@ -367,9 +367,9 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
         s = _resolve(t, prefixes)
         i += 1
         while True:
-            alts, i = _parse_path(toks, i, prefixes)
+            alts, quant, i = _parse_path(toks, i, prefixes)
             o = _resolve(toks[i], prefixes)
-            _emit_path(g, s, alts, o, prefixes)
+            _emit_path(g, s, alts, o, prefixes, quant)
             i += 1
             if i < len(toks) and toks[i] == ";":
                 i += 1
@@ -404,15 +404,20 @@ def _parse_path_elt(toks, i, prefixes) -> tuple[tuple[bool, str], int]:
     return (inv, p), i
 
 
-def _parse_path(toks, i, prefixes) -> tuple[list, int]:
+def _parse_path(toks, i, prefixes) -> tuple[list, tuple | None, int]:
     """Predicate-position property path (SPARQL 1.1 §9 subset):
     ``elt(/elt)*`` sequences, ``|`` alternation of sequences,
     ``^`` inverse per element, quantifiers per element, optional
-    outer parens.  Returns (branches, next index) where each branch
-    is a list of (inverted, pred) steps — one branch means a plain
-    sequence, several mean a UNION.  Quantifying a *parenthesized*
-    path is refused (the general Kleene-over-alternation case needs
-    an automaton product, not a pattern rewrite)."""
+    outer parens — which may themselves carry a quantifier,
+    ``(a/b)+`` / ``(a|b)*`` / ``(a/b){2,3}``.  Returns (branches,
+    quant, next index) where each branch is a list of
+    (inverted, pred) steps — one branch means a plain sequence,
+    several mean a UNION — and quant is None for an unquantified
+    path or (lo, hi) for a quantified parenthesized one (hi None =
+    engine max_path_hops).  A quantified parenthesized path
+    compiles to a bounded Kleene closure over the composed edge
+    relation of its body (graphquery.closure_pairs ∘ _alts_pairs),
+    not a pattern rewrite."""
     parens = toks[i] == "("
     if parens:
         i += 1
@@ -431,27 +436,65 @@ def _parse_path(toks, i, prefixes) -> tuple[list, int]:
             continue
         break
     alts.append(seq)
+    quant = None
     if parens:
         if i >= len(toks) or toks[i] != ")":
             raise SparqlSyntaxError("unclosed '(' in property path")
         i += 1
-        if i < len(toks) and toks[i] in ("*", "+", "{"):
-            raise SparqlSyntaxError(
-                "quantified parenthesized paths are not supported — "
-                "quantify the individual elements instead"
+        if i < len(toks) and toks[i] in ("*", "+"):
+            quant = (0, None) if toks[i] == "*" else (1, None)
+            i += 1
+        elif i < len(toks) and toks[i] == "{":
+            try:
+                j = toks.index("}", i)
+            except ValueError:
+                raise SparqlSyntaxError("unclosed '{' path quantifier")
+            spec = "".join(toks[i + 1 : j])
+            m = re.fullmatch(r"(\d*)(,)?(\d*)", spec)
+            if not m or not spec:
+                raise SparqlSyntaxError(f"bad path quantifier {{{spec}}}")
+            lo_s, comma, hi_s = m.groups()
+            lo = int(lo_s) if lo_s else 0
+            hi = (
+                int(hi_s) if hi_s else (None if comma else lo)
             )
-    return alts, i
+            if hi is not None and (hi < 1 or hi < lo):
+                raise SparqlSyntaxError(f"bad path quantifier {{{spec}}}")
+            quant = (lo, hi)
+            i = j + 1
+    return alts, quant, i
 
 
-def _emit_path(g: dict, s: str, alts: list, o: str, prefixes: dict) -> None:
+def _emit_path(
+    g: dict, s: str, alts: list, o: str, prefixes: dict, quant=None
+) -> None:
     """Rewrite a parsed property path into plain triple patterns on
     the group: a sequence chains patterns through fresh ``?_pv<N>``
     variables (projected away at the end of the group's compile), an
     inverse step swaps its endpoints, and an alternation becomes a
     UNION of single-sequence branches (each branch binds exactly the
     endpoints, so the union is a clean column-aligned unionByName).
+    A quantified parenthesized path (quant = (lo, hi)) is NOT
+    rewritten — it becomes one pattern whose predicate is the
+    ("path", alts, lo, hi) marker, compiled by graphquery to a
+    bounded closure over the body's composed edge relation.
     Purely algebraic — every step still compiles to the engine's
     equi-join / bounded-closure machinery."""
+    if quant is not None:
+        for seq in alts:
+            for _inv, p in seq:
+                if p.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "variable predicates inside a quantified "
+                        "parenthesized path are not supported"
+                    )
+                if p.endswith("*") or re.search(r"\{0?,\d*\}$|\{0\}$", p):
+                    raise SparqlSyntaxError(
+                        "zero-lower-bound element quantifier inside a "
+                        "quantified parenthesized path is not supported"
+                    )
+        g["patterns"].append((s, ("path", alts, quant[0], quant[1]), o))
+        return
     ctr = prefixes.setdefault("\x00pv", [0])
 
     def emit_seq(grp, seq):
@@ -942,8 +985,9 @@ def _parse_toks(toks: list[str]) -> dict:
             raise SparqlSyntaxError("CONSTRUCT template must be plain triples")
         for ts, tp, to in tmpl["patterns"]:
             # path sugar (sequences introduce ?_pv vars, quantifiers
-            # ride on the pred) describes matching, not emission
-            if tp[-1] in "*+}" or any(
+            # ride on the pred or arrive as a ("path", ...) marker)
+            # describes matching, not emission
+            if not isinstance(tp, str) or tp[-1] in "*+}" or any(
                 term.startswith("?_pv") for term in (ts, tp, to)
             ):
                 raise SparqlSyntaxError(

@@ -1840,6 +1840,48 @@ WHERE ti.pred = 'http://purl.org/dc/terms/title'
 """
 
 
+def q_kg_sparql_pathgroup(spark, sf_dir):
+    """SPARQL quantified parenthesized path end-to-end (spec §9.1
+    PathMod over a grouped path): doc-level citation reachability —
+    `(^isPartOf/references)+` composes "a document's sections" with
+    "what those sections cite" into ONE edge relation, then takes
+    its bounded Kleene closure (3 composed hops, the reference's
+    own annotation-walk bound).  Compiles to closure_pairs over
+    _alts_pairs: two predicate-pushed scans equi-joined into the
+    composed edge set, then frontier self-joins — never a pattern
+    rewrite, never Python."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?d ?o WHERE {
+          ?d (^dcterms:isPartOf/dcterms:references)+ ?o
+        }
+        """,
+    )
+
+
+def _oracle_kg_sparql_pathgroup() -> str:
+    """The composed edge (doc -[has-section]-> sec -[cites]-> target)
+    built by an explicit join, then the 3-hop closure unrolled as hop
+    joins (same shape as the kg_paths / pagerank unrolled twins)."""
+    from ferenda_spark.config import DCT
+
+    t = _kg_t("triples")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT p.obj AS src, r.obj AS dst
+  FROM {t} p JOIN {t} r ON r.subj = p.subj
+  WHERE p.pred = '{DCT}isPartOf' AND r.pred = '{DCT}references'),
+h2 AS (SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+h3 AS (SELECT DISTINCT a.src, b.dst FROM h2 a JOIN e b ON a.dst = b.src)
+SELECT DISTINCT src AS d, dst AS o FROM (
+  SELECT * FROM e UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2529,6 +2571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_neg": q_kg_sparql_neg,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_topk": q_kg_sparql_topk,
+        "kg_sparql_pathgroup": q_kg_sparql_pathgroup,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2602,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_neg": ORACLE_KG_SPARQL_NEG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_agg": ORACLE_KG_SPARQL_AGG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_topk": ORACLE_KG_SPARQL_TOPK_TMPL.format(t=_kg_t("triples")),
+        "kg_sparql_pathgroup": _oracle_kg_sparql_pathgroup(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),

@@ -817,10 +817,73 @@ def test_two_sided_numeric_filter_tokenizes(g):
     assert sorted(r["s"] for r in got) == ["d1", "d2"]
 
 
+def test_quantified_parenthesized_paths(g):
+    """(a/b)+ / (a|b)* / (a/b){m,n}: bounded Kleene closure over the
+    COMPOSED edge relation of the path body (closure_pairs over
+    _alts_pairs) — not a per-element rewrite.  The doc graph's
+    two-step citation walk ^partOf/references alternates d1 -> d2 ->
+    d1 -> ..., so hop counts are directly observable."""
+    # one composed hop reaches d2, two reach back to d1, capped at 3
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1> (^<partOf>/<references>)+ ?o }"
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["d1", "d2"]
+    # {2}: exactly two composed hops
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1> (^<partOf>/<references>){2} ?o }"
+    ).collect()
+    assert [r["o"] for r in got] == ["d1"]
+    # {2,3}: two or three
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1> (^<partOf>/<references>){2,3} ?o }"
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["d1", "d2"]
+    # alternation body: one hop over (partOf|references)
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1#s1> (<partOf>|<references>)+ ?o }"
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["d1", "d2"]
+    # zero-or-more with a ground endpoint includes the identity
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d2> (^<partOf>/<references>)* ?o }"
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["d1", "d2"]
+    # var-var zero-or-more with a bound endpoint: identity stays
+    # algebraic (?o := ?s), closure pairs join on the bound side
+    got = run_sparql(
+        g,
+        "SELECT ?s ?o WHERE { ?s <type> <Doc> . "
+        "?s (^<partOf>/<references>)* ?o }",
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("d1", "d1"), ("d1", "d2"), ("d2", "d1"), ("d2", "d2"),
+    ]
+    # an element quantifier with lo >= 1 composes inside the body
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1> (^<partOf>{1}/<references>)+ ?o }"
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["d1", "d2"]
+
+
+def test_quantified_parenthesized_path_refusals(g):
+    for bad in [
+        # zero-lower-bound elements inside a composed body would
+        # need the store's node set as per-element identity
+        "SELECT ?o WHERE { <d1> (<partOf>*/<references>)+ ?o }",
+        "SELECT ?o WHERE { <d1> (<partOf>{,2}/<references>)+ ?o }",
+        "SELECT ?o WHERE { <d1> (<partOf>{0,2}/<references>)+ ?o }",
+        # variable predicates cannot form a scan-selective edge body
+        "SELECT ?o WHERE { <d1> (?p/<references>)+ ?o }",
+        # {0} / inverted bounds are malformed
+        "SELECT ?o WHERE { <d1> (<a>/<b>){0} ?o }",
+        "SELECT ?o WHERE { <d1> (<a>/<b>){3,2} ?o }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
+
+
 def test_path_syntax_errors(g):
     for bad in [
-        # Kleene over a parenthesized path needs an automaton, refuse
-        "SELECT ?s WHERE { ?s (<a>/<b>)* ?o }",
         # the rewrite's fresh-variable namespace is reserved
         "SELECT ?_pv0 WHERE { ?_pv0 <a> ?o }",
         # paths never emit triples

@@ -714,6 +714,83 @@ def test_path_sugar_matches_naive(spark, seed):
 
 
 # ---------------------------------------------------------------
+# 8b. quantified parenthesized paths vs naive composed closure
+# ---------------------------------------------------------------
+
+
+def _naive_closure(edges: set, lo: int, hi: int) -> set:
+    """Pairs connected by lo..hi compositions of the edge set."""
+    out, hop = set(), set(edges)
+    for d in range(1, hi + 1):
+        if d > 1:
+            hop = {(a, c) for a, b in hop for b2, c in edges if b == b2}
+        if d >= lo:
+            out |= hop
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_quantified_group_path_matches_naive(spark, seed):
+    """(a/b)+ / (a|b)+ / (a/b){m,n} against a brute-force closure of
+    the naively composed edge relation, on random graphs — plus the
+    ground-endpoint zero-or-more case (identity row included)."""
+    rnd = random.Random(9700 + seed)
+    nodes = [EX + f"n{i}" for i in range(5)]
+    triples = {
+        (rnd.choice(nodes), EX + rnd.choice("pq"), rnd.choice(nodes))
+        for _ in range(rnd.randint(4, 16))
+    }
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    P, Q = EX + "p", EX + "q"
+    ep = {(s, o) for s, p, o in triples if p == P}
+    eq = {(s, o) for s, p, o in triples if p == Q}
+    seq_e = {(x, y) for x, m in ep for m2, y in eq if m == m2}
+
+    # (p/q)+ : closure of the composed sequence edge, 1..3 hops
+    want = _naive_closure(seq_e, 1, 3)
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x (<{P}>/<{Q}>)+ ?y }}"
+        ).collect()
+    }
+    assert got == want, ("seq+", sorted(triples))
+
+    # (p|q)+ : closure of the union edge
+    want = _naive_closure(ep | eq, 1, 3)
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x (<{P}>|<{Q}>)+ ?y }}"
+        ).collect()
+    }
+    assert got == want, ("alt+", sorted(triples))
+
+    # (p|q){2,3} : explicit bounds
+    want = _naive_closure(ep | eq, 2, 3)
+    got = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x (<{P}>|<{Q}>){{2,3}} ?y }}"
+        ).collect()
+    }
+    assert got == want, ("alt{2,3}", sorted(triples))
+
+    # ground-endpoint (p|q)* : zero-hop identity plus the closure
+    start = rnd.choice(nodes)
+    want = {y for x, y in _naive_closure(ep | eq, 1, 3) if x == start}
+    want.add(start)
+    got = {
+        r["y"]
+        for r in run_sparql(
+            g, f"SELECT ?y WHERE {{ <{start}> (<{P}>|<{Q}>)* ?y }}"
+        ).collect()
+    }
+    assert got == want, ("ground*", start, sorted(triples))
+
+
+# ---------------------------------------------------------------
 # 9. FILTER EXISTS (positive) vs naive semi-filter
 # ---------------------------------------------------------------
 

@@ -490,6 +490,31 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "sparql_quantified_group_path",
+            run_sparql(
+                tstore,
+                """PREFIX dcterms: <http://purl.org/dc/terms/>
+                SELECT ?d ?o WHERE {
+                  ?d (^dcterms:isPartOf/dcterms:references)+ ?o
+                }""",
+            ),
+            [
+                # the composed edge relation is built from two
+                # predicate-pushed scans; the closure is frontier
+                # equi-joins — nothing cartesian, nothing Python
+                ("pred constants pushed to scan", lambda p: "PushedFilters" in p
+                 and "pred" in p.split("PushedFilters")[1][:200]),
+                ("closure is equi-joins", lambda p: "Join" in p
+                 and "Cartesian" not in p and "NestedLoop" not in p),
+                ("no single-partition window", lambda p: "Window" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
