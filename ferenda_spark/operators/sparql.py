@@ -27,8 +27,12 @@ query text runs against the Spark triples table:
   (division is try_divide — a type error or /0 drops the row, never
   an ANSI task failure)
   · VALUES ?v { ... } (an
-  isin() filter, pushed into the pattern scans) and the table form
-  VALUES (?a ?b) { (..) .. } (broadcast inner join) · property paths
+  isin() filter, pushed into the pattern scans; over a
+  maybe-unbound variable, the exact compatible-merge broadcast join
+  — unbound rows multiply by the value list and take each value)
+  and the table form VALUES (?a ?b) { (..) .. } (broadcast inner
+  join, same compatible-merge when a variable may be unbound)
+  · property paths
   pred+ / pred* / pred{m,n} (bounded; see graphquery), sequences
   a/b (rewritten to a chain of patterns through hidden fresh vars),
   inverse ^a (swapped endpoints), alternation a|b (a UNION of
@@ -176,20 +180,30 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
         if t == "{":  # subgroup, subquery, or a UNION chain
             if i + 1 < len(toks) and toks[i + 1].upper() == "SELECT":
                 sub, i = _parse_subselect(toks, i + 1, prefixes)
-                g["subselects"].append(sub)
-                if i < len(toks) and toks[i].upper() == "UNION":
-                    raise SparqlSyntaxError(
-                        "a subquery cannot be a UNION branch"
-                    )
-                continue
-            alts = []
-            sub, i = _parse_group(toks, i + 1, prefixes)
-            alts.append(sub)
+                if not (i < len(toks) and toks[i].upper() == "UNION"):
+                    g["subselects"].append(sub)
+                    continue
+                # a subquery AS a UNION branch (spec: any branch is a
+                # GroupGraphPattern, which may be a subselect): wrap
+                # it in its own group so the union compile evaluates
+                # it bottom-up like any other branch
+                wrap = _empty_group()
+                wrap["subselects"].append(sub)
+                alts = [wrap]
+            else:
+                sub, i = _parse_group(toks, i + 1, prefixes)
+                alts = [sub]
             while i < len(toks) and toks[i].upper() == "UNION":
                 if toks[i + 1] != "{":
                     raise SparqlSyntaxError("UNION must be followed by '{'")
-                sub, i = _parse_group(toks, i + 2, prefixes)
-                alts.append(sub)
+                if toks[i + 2].upper() == "SELECT":
+                    sq, i = _parse_subselect(toks, i + 2, prefixes)
+                    wrap = _empty_group()
+                    wrap["subselects"].append(sq)
+                    alts.append(wrap)
+                else:
+                    sub, i = _parse_group(toks, i + 2, prefixes)
+                    alts.append(sub)
             if len(alts) < 2:
                 # a bare nested group: inlining is sound only when the
                 # group carries nothing scope-sensitive — OPTIONAL and
@@ -267,17 +281,22 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             continue
         if t.upper() == "VALUES":
             # single-variable form VALUES ?v { t1 t2 } compiles to an
-            # isin() filter Catalyst pushes into the pattern scans;
-            # the table form VALUES (?a ?b) { ("x" "y") ... } to a
-            # broadcast inner join on a literal DataFrame.  UNDEF is
-            # refused (it would need compatible-merge per cell).
+            # isin() filter Catalyst pushes into the pattern scans
+            # (bound var) or a broadcast compatible-merge join
+            # (maybe-unbound var); the table form
+            # VALUES (?a ?b) { ("x" "y") ... } to a broadcast inner
+            # join on a literal DataFrame.  UNDEF is refused (it
+            # would need per-cell compatible-merge).  Per-term
+            # uri-ness is captured so a filled-in value carries
+            # correct term metadata.
             if toks[i + 1].startswith("?") and toks[i + 2] == "{":
                 var = toks[i + 1][1:]
                 j = toks.index("}", i + 3)
                 vals = [_resolve(tk, prefixes) for tk in toks[i + 3 : j]]
+                uris = [not tk.startswith('"') for tk in toks[i + 3 : j]]
                 if not vals:
                     raise SparqlSyntaxError("empty VALUES list")
-                g["values"].append((var, vals))
+                g["values"].append((var, vals, uris))
                 i = j + 1
                 continue
             if toks[i + 1] != "(":
@@ -294,15 +313,16 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
                     "VALUES table form needs (?v ...) { (...) ... }"
                 )
             j += 2
-            rows = []
+            rows, uri_rows = [], []
             while j < len(toks) and toks[j] == "(":
-                row, j = [], j + 1
+                row, urow, j = [], [], j + 1
                 while j < len(toks) and toks[j] != ")":
                     if toks[j].upper() == "UNDEF":
                         raise SparqlSyntaxError(
                             "UNDEF in VALUES is not supported — it "
                             "needs per-cell compatible-merge"
                         )
+                    urow.append(not toks[j].startswith('"'))
                     row.append(_resolve(toks[j], prefixes))
                     j += 1
                 if j >= len(toks) or len(row) != len(vars_):
@@ -310,10 +330,11 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
                         "VALUES row arity mismatch or unclosed row"
                     )
                 rows.append(tuple(row))
+                uri_rows.append(tuple(urow))
                 j += 1
             if j >= len(toks) or toks[j] != "}" or not rows:
                 raise SparqlSyntaxError("malformed VALUES table")
-            g["values_multi"].append((vars_, rows))
+            g["values_multi"].append((vars_, rows, uri_rows))
             i = j + 1
             continue
         if t.upper() == "MINUS":
@@ -1287,6 +1308,58 @@ def _merge_nulls(left: tuple, parts: list) -> set:
     }
 
 
+def _values_compat(
+    df: DataFrame, nulls: set, vars_: list, rows: list, uri_rows: list
+) -> tuple[DataFrame, set]:
+    """Exact compatible-merge of an inline VALUES table onto the
+    solution set when one or more of its variables is maybe-unbound
+    (spec §10.2 / §18.5: solutions merge iff they agree on shared
+    BOUND variables; the merged solution takes the inline value
+    where the solution side is unbound — so an unbound row
+    multiplies by the matching inline rows).  One broadcast join on
+    the query-sized literal table, then unbound cells are filled
+    with the value and its term metadata (inline terms here are
+    plain IRIs/strings — lang/datatype tags are not carried by this
+    engine's VALUES).  All VALUES variables are unconditionally
+    bound afterwards."""
+    from pyspark.sql import functions as F
+
+    data = [tuple(r) + tuple(u) for r, u in zip(rows, uri_rows)]
+    schema = ", ".join(
+        [f"_vv_{v} string" for v in vars_]
+        + [f"_vu_{v} boolean" for v in vars_]
+    )
+    vdf = df.sparkSession.createDataFrame(data, schema).distinct()
+    cond = None
+    for v in vars_:
+        c = F.col(v) == F.col(f"_vv_{v}")
+        if v in nulls:
+            c = c | F.col(v).isNull()
+        cond = c if cond is None else cond & c
+    out = df.join(F.broadcast(vdf), cond, "inner")
+    for v in vars_:
+        if v not in nulls:
+            out = out.drop(f"_vv_{v}", f"_vu_{v}")
+            continue
+        # the fill flag must be captured BEFORE the coalesce rebinds v
+        out = out.withColumn("_vfill", F.col(v).isNull())
+        out = out.withColumn(v, F.coalesce(F.col(v), F.col(f"_vv_{v}")))
+        fills = {
+            "_isuri_": F.col(f"_vu_{v}"),
+            "_lang_": F.lit(None).cast("string"),
+            "_dt_": F.lit(None).cast("string"),
+        }
+        for m, fill in fills.items():
+            mc = f"{m}{v}"
+            if mc in out.columns:
+                out = out.withColumn(
+                    mc,
+                    F.when(F.col("_vfill"), fill).otherwise(F.col(mc)),
+                )
+        out = out.drop("_vfill", f"_vv_{v}", f"_vu_{v}")
+    return out, nulls - set(vars_)
+
+
 def _compile_group(
     triples: DataFrame, g: dict, max_path_hops: int
 ) -> tuple[DataFrame, set]:
@@ -1418,21 +1491,24 @@ def _compile_group(
             probe = mdf.limit(1).select(F.lit(1).alias("_e"))
             df = df.join(probe, F.lit(True), how)
         # else: MINUS with disjoint domains is the identity
-    for var, vals in g["values"]:
+    for var, vals, uris in g["values"]:
         if var not in df.columns:
             raise SparqlSyntaxError(
                 f"VALUES variable ?{var} is not bound by the group"
             )
-        if var in nulls:
-            # exact semantics would join the inline table compatibly,
-            # multiplying each unbound-row by every value — refuse
-            # rather than silently dropping (isin) or exploding
-            raise SparqlSyntaxError(
-                f"VALUES over maybe-unbound variable ?{var} is not "
-                "supported — bind it unconditionally first"
-            )
-        df = df.filter(F.col(var).isin(vals))
-    for vars_, rows in g["values_multi"]:
+        if var not in nulls:
+            df = df.filter(F.col(var).isin(vals))
+            continue
+        # maybe-unbound var: exact SPARQL compatible-merge — a row
+        # with the var unbound is compatible with EVERY inline value
+        # (it multiplies by the value list and takes each value); a
+        # bound row survives iff its value is in the list.  One
+        # broadcast join on a query-sized literal table, then the
+        # unbound side is filled in (value + term metadata).
+        df, nulls = _values_compat(
+            df, nulls, [var], [(x,) for x in vals], [(u,) for u in uris]
+        )
+    for vars_, rows, uri_rows in g["values_multi"]:
         # table form: explicit-broadcast inner join on the inline
         # rows (query-sized by construction, never the store)
         for v in vars_:
@@ -1440,11 +1516,11 @@ def _compile_group(
                 raise SparqlSyntaxError(
                     f"VALUES variable ?{v} is not bound by the group"
                 )
-            if v in nulls:
-                raise SparqlSyntaxError(
-                    f"VALUES over maybe-unbound variable ?{v} is not "
-                    "supported — bind it unconditionally first"
-                )
+        if any(v in nulls for v in vars_):
+            df, nulls = _values_compat(
+                df, nulls, list(vars_), rows, uri_rows
+            )
+            continue
         vdf = df.sparkSession.createDataFrame(
             list(rows), ", ".join(f"{v} string" for v in vars_)
         ).distinct()

@@ -943,8 +943,6 @@ def test_ask_form(g):
 
 def test_subquery_syntax_errors(g):
     for bad in [
-        # subqueries cannot be UNION branches (loud, not wrong)
-        "SELECT ?d WHERE { { SELECT ?d WHERE { ?d <a> ?x } } UNION { ?d <b> ?t } }",
         # truncated subquery
         "SELECT ?d WHERE { { SELECT ?d WHERE { ?d <a> ?x } ",
         # aggregated subquery still validates grouping
@@ -952,6 +950,51 @@ def test_subquery_syntax_errors(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_subquery_as_union_branch(g):
+    """A UNION branch may be a subquery (spec: any branch is a
+    GroupGraphPattern, which includes subselects): the subquery
+    evaluates bottom-up — its LIMIT/aggregation applies BEFORE the
+    union — then the branch merges like any other."""
+    # branch 1: the single most-cited doc (grouped top-1 subquery);
+    # branch 2: every doc with a publisher.  d1 and d2 cite each
+    # other once each; MIN tie-break via ORDER BY makes it d1.
+    got = run_sparql(
+        g,
+        """SELECT ?d WHERE {
+          { SELECT ?d WHERE { ?x <references> ?d } ORDER BY ?d LIMIT 1 }
+          UNION
+          { ?d <publisher> ?p }
+        }""",
+    ).collect()
+    assert sorted(r["d"] for r in got) == ["d1"]  # both branches give d1
+    # subquery as a LATER branch, binding a different variable set
+    got = run_sparql(
+        g,
+        """SELECT ?d ?t WHERE {
+          { ?d <title> ?t . FILTER(LANGMATCHES(LANG(?t), "sv")) }
+          UNION
+          { SELECT ?d WHERE { ?d <publisher> ?p } }
+        }""",
+    ).collect()
+    assert sorted((r["d"], r["t"]) for r in got) == [
+        ("d1", None), ("d2", "Beta"),
+    ]
+    # the subquery's aggregate stays inside its branch
+    got = run_sparql(
+        g,
+        """SELECT ?d ?n WHERE {
+          { SELECT ?d (COUNT(?x) AS ?n)
+            WHERE { ?x <references> ?d } GROUP BY ?d }
+          UNION
+          { ?d <type> <Doc> . }
+        }""",
+    ).collect()
+    assert sorted(
+        ((r["d"], r["n"]) for r in got),
+        key=lambda p: (p[0], p[1] is not None, p[1] or 0),
+    ) == [("d1", None), ("d1", 1), ("d2", None), ("d2", 1)]
 
 
 def test_describe_form(g):
@@ -1079,6 +1122,48 @@ def test_values_table_form(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_values_over_maybe_unbound_var(g):
+    """VALUES over an OPTIONAL-bound variable: exact compatible-merge
+    (spec §10.2) — a solution with the var unbound is compatible
+    with EVERY inline value and takes each one; bound solutions
+    filter as usual.  Filled values carry their term metadata."""
+    # d1 has publisher org1; d2 has none.  (d2, NULL) multiplies by
+    # the whole list; (d1, org1) survives only as itself.
+    got = run_sparql(
+        g,
+        """SELECT ?d ?p WHERE {
+          ?d <type> <Doc> .
+          OPTIONAL { ?d <publisher> ?p }
+          VALUES ?p { <org1> <org2> }
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("d1", "org1"), ("d2", "org1"), ("d2", "org2"),
+    ]
+    # a filled-in IRI value must pass isURI (term metadata is
+    # rewritten along with the value), a filled-in literal must not
+    got = run_sparql(
+        g,
+        """SELECT ?d ?p WHERE {
+          ?d <type> <Doc> .
+          OPTIONAL { ?d <publisher> ?p }
+          VALUES ?p { <org1> "plain" }
+          FILTER(isURI(?p))
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "org1"), ("d2", "org1")]
+    # table form with one maybe-unbound column: row-aligned merge
+    got = run_sparql(
+        g,
+        """SELECT ?d ?p WHERE {
+          ?d <type> <Doc> .
+          OPTIONAL { ?d <publisher> ?p }
+          VALUES (?d ?p) { (<d1> <org1>) (<d2> <orgX>) (<d1> <orgZ>) }
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "org1"), ("d2", "orgX")]
 
 
 def test_filter_exists_positive(g):

@@ -791,6 +791,61 @@ def test_quantified_group_path_matches_naive(spark, seed):
 
 
 # ---------------------------------------------------------------
+# 8c. VALUES over a maybe-unbound variable vs naive compat-merge
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_values_over_unbound_matches_naive(spark, seed):
+    """?s <p> ?o . OPTIONAL { ?o <q> ?v } VALUES ?v { ... } against
+    the spec's compatible-merge evaluated naively: an unbound ?v
+    multiplies by every inline value, a bound ?v filters."""
+    rnd = random.Random(9800 + seed)
+    nodes = [EX + f"n{i}" for i in range(5)]
+    triples = {
+        (rnd.choice(nodes), EX + rnd.choice("pq"), rnd.choice(nodes))
+        for _ in range(rnd.randint(4, 14))
+    }
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    P, Q = EX + "p", EX + "q"
+    vals = rnd.sample(nodes, rnd.randint(1, 3))
+
+    # naive: main pattern, left-join OPTIONAL, then compat-merge
+    base = [(s, o) for s, p, o in triples if p == P]
+    qmap = {}
+    for s, p, o in triples:
+        if p == Q:
+            qmap.setdefault(s, []).append(o)
+    sols = []
+    for s, o in base:
+        if o in qmap:
+            sols += [(s, o, v) for v in qmap[o]]
+        else:
+            sols.append((s, o, None))
+    want = set()
+    for s, o, v in sols:
+        if v is None:
+            want |= {(s, o, val) for val in vals}
+        elif v in vals:
+            want.add((s, o, v))
+
+    vlist = " ".join(f"<{v}>" for v in vals)
+    got = {
+        (r["s"], r["o"], r["v"])
+        for r in run_sparql(
+            g,
+            f"""SELECT ?s ?o ?v WHERE {{
+              ?s <{P}> ?o .
+              OPTIONAL {{ ?o <{Q}> ?v }}
+              VALUES ?v {{ {vlist} }}
+            }}""",
+        ).collect()
+    }
+    assert got == want, (sorted(triples), vals)
+
+
+# ---------------------------------------------------------------
 # 9. FILTER EXISTS (positive) vs naive semi-filter
 # ---------------------------------------------------------------
 
