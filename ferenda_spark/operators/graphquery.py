@@ -130,8 +130,11 @@ def _alts_pairs(triples: DataFrame, alts, max_path_hops: int) -> DataFrame:
                     "variable predicates inside a quantified "
                     "parenthesized path are not supported"
                 )
-            bounds = _path_bounds(p, max_path_hops)
-            if bounds is not None:
+            if isinstance(p, tuple) and p and p[0] == "nps":
+                step = _nps_scan(triples, p[1], p[2]).select(
+                    F.col("subj").alias("src"), F.col("obj").alias("dst")
+                )
+            elif (bounds := _path_bounds(p, max_path_hops)) is not None:
                 base, lo, hi = bounds
                 if lo == 0:
                     # a zero-hop element inside a composed edge body
@@ -249,19 +252,56 @@ def _path_pattern_df(
     return pairs.select(*cols)
 
 
+def _nps_scan(triples: DataFrame, fwd, invs) -> DataFrame:
+    """Negated property set (SPARQL 1.1 §9.1) as a scan: the union
+    of a forward part (triples whose predicate is NOT among the
+    forward members — `Not(In(pred, ...))`, pushed to the store) and
+    an endpoint-swapped reverse part over the inverse members.  An
+    all-forward or all-inverse set has only its one part (the spec's
+    translation: `!(a|^b)` = `!a | ^!b`).  The swapped part's object
+    is an RDF subject, a URI by construction."""
+    parts = []
+    if fwd:
+        parts.append(triples.filter(~F.col("pred").isin(list(fwd))))
+    if invs:
+        sw = triples.filter(~F.col("pred").isin(list(invs)))
+        cols = [
+            F.col("obj").alias("subj"),
+            F.col("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(True).alias("obj_is_uri"),
+        ]
+        if "lang" in triples.columns:
+            cols += [
+                F.lit(None).cast("string").alias("lang"),
+                F.lit(None).cast("string").alias("datatype"),
+            ]
+        parts.append(sw.select(*cols))
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt, allowMissingColumns=True)
+    return out
+
+
 def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFrame:
     """One triple pattern -> (filtered, renamed) scan.  A predicate
     string ending in '+', '*' or '{m,n}' compiles to property_path
     (bounded transitive closure; a zero lower bound includes the
-    zero-hop identity)."""
+    zero-hop identity); a ("nps", fwd, invs) predicate marker to the
+    negated-property-set scan (binds no predicate variable)."""
     s, p, o = pattern
     bounds = _pred_closure(p, max_path_hops)
     if bounds is not None:
         base, lo, hi = bounds
         return _path_pattern_df(triples, s, base, o, lo, hi, max_path_hops)
+    if isinstance(p, tuple) and p and p[0] == "nps":
+        triples = _nps_scan(triples, p[1], p[2])
+        p = None
     df = triples
     cols, seen = [], {}
     for term, src in ((s, "subj"), (p, "pred"), (o, "obj")):
+        if term is None:
+            continue
         if not _is_var(term):
             df = df.filter(F.col(src) == term)
         elif _vname(term) in seen:

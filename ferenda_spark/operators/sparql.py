@@ -15,8 +15,10 @@ query text runs against the Spark triples table:
   · subqueries { SELECT ... } (evaluated bottom-up against the
   dataset, aggregation/LIMIT before the outward compatible join —
   spec §12) · FROM <g> dataset clauses · basic graph
-  patterns ('a' = rdf:type) · OPTIONAL { ... } · { ... } UNION
-  { ... } chains · GRAPH <g> { ... } · BIND(?a AS ?b) (keeps term
+  patterns ('a' = rdf:type) · OPTIONAL { ... } (exact §18.5
+  compatible-merge LeftJoin, any body content incl. nested
+  OPTIONALs/UNIONs/subqueries) · { ... } UNION
+  { ... } chains (branches may be subqueries) · GRAPH <g> { ... } · BIND(?a AS ?b) (keeps term
   metadata) and BIND(expr AS ?b) with CONCAT/UCASE/LCASE/STRLEN/
   SUBSTR/REPLACE/IF/COALESCE/ABS/ROUND/CEIL/FLOOR · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
@@ -36,7 +38,10 @@ query text runs against the Spark triples table:
   pred+ / pred* / pred{m,n} (bounded; see graphquery), sequences
   a/b (rewritten to a chain of patterns through hidden fresh vars),
   inverse ^a (swapped endpoints), alternation a|b (a UNION of
-  branches; SPARQL precedence — sequence binds tighter) ·
+  branches; SPARQL precedence — sequence binds tighter), quantified
+  parenthesized paths (a/b)+ (a|b)* (bounded closure over the
+  composed edge relation), negated property sets !a / !(a|^b)
+  (Not-In-pushed scan + endpoint-swapped inverse part) ·
   MINUS / FILTER NOT EXISTS / FILTER EXISTS
   (LEFT ANTI / LEFT SEMI joins on shared variables; with disjoint
   domains each form gets its exact divergent spec semantics — MINUS
@@ -222,11 +227,11 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             if toks[i + 1] != "{":
                 raise SparqlSyntaxError("OPTIONAL must be followed by '{'")
             sub, i = _parse_group(toks, i + 2, prefixes)
-            # patterns + FILTERs are supported in an OPTIONAL body
-            # (the filter scopes to the group, applied before the
-            # left join); deeper nesting is refused
-            if any(sub[k] for k in sub if k not in ("patterns", "filters")):
-                raise SparqlSyntaxError("nested OPTIONAL bodies unsupported")
+            # any group content is allowed in an OPTIONAL body —
+            # group-scoped FILTERs apply before the left join, and
+            # nested OPTIONALs / UNIONs / subqueries compile
+            # recursively; the LeftJoin itself is the exact
+            # compatible-merge (_compat_left)
             g["optionals"].append(sub)
             continue
         if t.upper() == "GRAPH":
@@ -403,10 +408,46 @@ def _parse_path_elt(toks, i, prefixes) -> tuple[tuple[bool, str], int]:
     """One property-path element at predicate position:
     ``[^]term[*|+|{m,n}]`` -> ((inverted, pred-with-quantifier),
     next index).  A variable predicate is allowed but takes no
-    modifiers (plain SPARQL)."""
+    modifiers (plain SPARQL).  ``!iri`` / ``!(a|^b)`` negated
+    property sets (spec §9.1) parse to a ("nps", fwd, invs)
+    predicate marker — compiled as a Not-In-pushed scan (plus an
+    endpoint-swapped part for inverse members); quantifying an NPS
+    is refused (its complement-closure would walk the whole store)."""
     inv = False
     if toks[i] == "^":
         inv, i = True, i + 1
+    if toks[i] == "!":
+        i += 1
+        fwd, invs = [], []
+        parens = toks[i] == "("
+        if parens:
+            i += 1
+        while True:
+            m_inv = toks[i] == "^"
+            if m_inv:
+                i += 1
+            t = _resolve(toks[i], prefixes)
+            i += 1
+            if t.startswith("?") or t[-1] in "*+":
+                raise SparqlSyntaxError(
+                    "a negated property set takes plain IRIs only"
+                )
+            (invs if m_inv else fwd).append(t)
+            if parens and i < len(toks) and toks[i] == "|":
+                i += 1
+                continue
+            break
+        if parens:
+            if i >= len(toks) or toks[i] != ")":
+                raise SparqlSyntaxError(
+                    "unclosed '(' in negated property set"
+                )
+            i += 1
+        if i < len(toks) and toks[i] in ("*", "+", "{"):
+            raise SparqlSyntaxError(
+                "quantified negated property sets are not supported"
+            )
+        return (inv, ("nps", tuple(fwd), tuple(invs))), i
     p = _resolve(toks[i], prefixes)
     i += 1
     if p.startswith("?"):
@@ -504,6 +545,8 @@ def _emit_path(
     if quant is not None:
         for seq in alts:
             for _inv, p in seq:
+                if not isinstance(p, str):
+                    continue  # ("nps", ...) markers compose freely
                 if p.startswith("?"):
                     raise SparqlSyntaxError(
                         "variable predicates inside a quantified "
@@ -1279,6 +1322,71 @@ def _compat_join(left: DataFrame, lnull: set, right: DataFrame, rnull: set):
     return out
 
 
+def _compat_left(
+    left: DataFrame, lnull: set, right: DataFrame, rnull: set
+) -> DataFrame:
+    """LeftJoin of two solution sets under SPARQL compatible-merge
+    (spec §18.5): every compatible pair merges (an unbound side takes
+    the other's binding), and a left solution with NO compatible
+    partner survives alone with the right-only variables unbound.
+
+    Pure equi-join plan, mirroring _compat_join: when no shared
+    variable is maybe-unbound this IS one left equi-join (the path
+    every well-designed OPTIONAL takes); otherwise the merged pairs
+    come from _compat_join and the unmatched left rows from a
+    NULL-signature split where each (left-piece, right-piece) pair
+    anti-joins on the variables bound in both (or a lazy 1-row probe
+    when the pair shares no definitely-bound variable — such a left
+    row is unmatched only if that right piece is empty).  Disjoint
+    domains (no shared variable at all) are the spec's cross-merge:
+    one lazy left join on an always-true condition yields the cross
+    product when the right is nonempty and the left row alone when
+    it is empty."""
+    from pyspark.sql import functions as F
+
+    shared = sorted(_visible(left) & _visible(right))
+    if not shared:
+        drop = [
+            c for c in ("_ground",)
+            if c in right.columns and c in left.columns
+        ]
+        return left.join(right.drop(*drop), F.lit(True), "left")
+    ln = [v for v in shared if v in lnull]
+    rn = [v for v in shared if v in rnull]
+    if not ln and not rn:
+        return _join(left, right, "left")
+    inner = _compat_join(left, lnull, right, rnull)
+    pieces = []
+    for lmask in range(1 << len(ln)):
+        lnulls = {v for k, v in enumerate(ln) if lmask >> k & 1}
+        lp = left
+        for v in ln:
+            lp = lp.filter(
+                F.col(v).isNull() if v in lnulls else F.col(v).isNotNull()
+            )
+        for rmask in range(1 << len(rn)):
+            rnulls = {v for k, v in enumerate(rn) if rmask >> k & 1}
+            rp = right
+            for v in rn:
+                rp = rp.filter(
+                    F.col(v).isNull() if v in rnulls
+                    else F.col(v).isNotNull()
+                )
+            keys = [
+                v for v in shared if v not in lnulls and v not in rnulls
+            ]
+            if keys:
+                lp = lp.join(rp.select(*keys).distinct(), keys, "left_anti")
+            else:
+                probe = rp.limit(1).select(F.lit(1).alias("_e"))
+                lp = lp.join(probe, F.lit(True), "left_anti")
+        pieces.append(lp)
+    unmatched = pieces[0]
+    for p_ in pieces[1:]:
+        unmatched = unmatched.unionByName(p_, allowMissingColumns=True)
+    return inner.unionByName(unmatched, allowMissingColumns=True)
+
+
 def _joined_nulls(
     left: DataFrame, lnull: set, right: DataFrame, rnull: set
 ) -> tuple[DataFrame, set]:
@@ -1436,15 +1544,18 @@ def _compile_group(
                 (_visible(df), nulls), [(_visible(p), n) for p, n in parts]
             )
     for opt in g["optionals"]:
-        # parser emits full sub-groups (patterns + group-scoped
-        # filters); compile recursively, then left-join.  Variables
-        # introduced by the OPTIONAL side become maybe-unbound.
+        # parser emits full sub-groups (any group content — nested
+        # OPTIONALs, UNIONs, subqueries; group-scoped filters apply
+        # before the left join per spec §18.2.2); compile
+        # recursively, then LeftJoin under exact compatible-merge.
+        # Variables introduced by the OPTIONAL side become
+        # maybe-unbound.
         gdf, gnull = _compile_group(triples, opt, max_path_hops)
         if df is None:
             df, nulls = gdf, gnull
         else:
             new_vars = _visible(gdf) - _visible(df)
-            df = _join(df, gdf, "left")
+            df = _compat_left(df, nulls, gdf, gnull)
             nulls |= new_vars | (gnull & _visible(df))
     if df is None:
         raise SparqlSyntaxError("empty WHERE group")

@@ -882,6 +882,112 @@ def test_quantified_parenthesized_path_refusals(g):
             run_sparql(g, bad)
 
 
+def test_optional_exact_compat_left(g):
+    """OPTIONAL is the exact spec §18.5 LeftJoin: a solution whose
+    shared variable is unbound is compatible with EVERY body row
+    (and takes its binding); nested OPTIONALs / UNIONs inside an
+    OPTIONAL body compile recursively."""
+    # chained OPTIONALs reusing a maybe-unbound variable: d2 has no
+    # publisher, so ?p is unbound there and merges with every title
+    got = run_sparql(
+        g,
+        """SELECT ?d ?p ?t WHERE {
+          ?d <type> <Doc> .
+          OPTIONAL { ?d <publisher> ?p }
+          OPTIONAL { ?p <title> ?t }
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == [
+        ("d1", "org1", None),
+        ("d2", "d1#s1", "Intro"),
+        ("d2", "d1", "Alpha"),
+        ("d2", "d2", "Beta"),
+    ]
+    # nested OPTIONAL body
+    got = run_sparql(
+        g,
+        """SELECT ?d ?p ?t WHERE {
+          ?d <type> <Doc> .
+          OPTIONAL { ?d <publisher> ?p OPTIONAL { ?d <title> ?t } }
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == [
+        ("d1", "org1", "Alpha"), ("d2", None, None),
+    ]
+    # UNION inside an OPTIONAL body
+    got = run_sparql(
+        g,
+        """SELECT ?d ?x WHERE {
+          ?d <type> <Doc> .
+          OPTIONAL { { ?d <publisher> ?x } UNION { ?d <issued> ?x } }
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == [
+        ("d1", "2004-01"), ("d1", "org1"), ("d2", "1999-06"),
+    ]
+    # disjoint-domain OPTIONAL: the spec's cross-merge
+    got = run_sparql(
+        g,
+        """SELECT ?d ?o WHERE {
+          ?d <publisher> ?x .
+          OPTIONAL { <d2> <issued> ?o }
+        }""",
+    ).collect()
+    assert sorted(map(tuple, got), key=str) == [("d1", "1999-06")]
+
+
+def test_negated_property_sets(g):
+    """!iri / !(a|^b) (spec §9.1): a Not-In-pushed scan for forward
+    members, an endpoint-swapped part for inverse members, and the
+    spec's union for mixed sets; composes inside sequences and
+    quantified bodies."""
+    got = run_sparql(g, "SELECT ?o WHERE { <d1> !<type> ?o }").collect()
+    assert sorted(r["o"] for r in got) == ["2004-01", "Alpha", "org1"]
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1> !(<type>|<title>|<issued>) ?o }"
+    ).collect()
+    assert [r["o"] for r in got] == ["org1"]
+    # mixed: forward non-title out of d1 plus reverse non-partOf into d1
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d1> !(<title>|^<partOf>) ?o }"
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["2004-01", "Doc", "d2#s1", "org1"]
+    # all-inverse set has no forward part at all (spec translation)
+    got = run_sparql(
+        g, "SELECT ?o WHERE { <d2> !(^<references>) ?o }"
+    ).collect()
+    assert [r["o"] for r in got] == ["d2#s1"]
+    # inside a sequence and inside a quantified parenthesized body
+    got = run_sparql(
+        g,
+        "SELECT ?s ?t WHERE { ?s !(<type>|<title>|<issued>|<publisher>"
+        "|<references>)/<title> ?t }",
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1#s1", "Alpha"), ("d2#s1", "Beta")]
+    got = run_sparql(
+        g,
+        "SELECT ?o WHERE { <d1#s1> "
+        "(!(<type>|<title>|<issued>|<publisher>))+ ?o }",
+    ).collect()
+    assert sorted(r["o"] for r in got) == ["d1", "d2"]
+    # term metadata: a literal reached through an NPS keeps its tag
+    got = run_sparql(
+        g,
+        'SELECT ?o WHERE { <d2> !<type> ?o . '
+        'FILTER(LANGMATCHES(LANG(?o), "sv")) }',
+    ).collect()
+    assert [r["o"] for r in got] == ["Beta"]
+    for bad in [
+        "SELECT ?o WHERE { <d1> !<type>* ?o }",
+        "SELECT ?o WHERE { <d1> !<type>{1,2} ?o }",
+        "SELECT ?o WHERE { <d1> !(?p) ?o }",
+        "SELECT ?o WHERE { <d1> !(<a>|<b> ?o }",
+        "CONSTRUCT { ?s !<type> ?o } WHERE { ?s <title> ?o }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
+
+
 def test_path_syntax_errors(g):
     for bad in [
         # the rewrite's fresh-variable namespace is reserved

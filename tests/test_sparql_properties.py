@@ -791,6 +791,85 @@ def test_quantified_group_path_matches_naive(spark, seed):
 
 
 # ---------------------------------------------------------------
+# 8a2. chained OPTIONALs over maybe-unbound vars vs naive LeftJoin
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_chained_optionals_match_naive(spark, seed):
+    """Non-well-designed OPTIONAL chains — a later OPTIONAL body
+    reuses a variable that an earlier OPTIONAL may have left unbound
+    — against the spec LeftJoin evaluated naively (_naive_bgp's
+    dict-based merge treats an absent key as compatible-and-filled,
+    the exact §18.5 rule)."""
+    rnd = random.Random(9600 + seed)
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    triples = {
+        (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes))
+        for _ in range(rnd.randint(3, 12))
+    }
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    P0, P1, P2 = preds
+
+    main = [("?a", P0, "?b")]
+    opts = [[("?b", P1, "?c")], [("?c", P2, "?d")]]
+    want = {
+        (s.get("a"), s.get("b"), s.get("c"), s.get("d"))
+        for s in _naive_bgp(triples, main, opts)
+    }
+    got = {
+        (r["a"], r["b"], r["c"], r["d"])
+        for r in run_sparql(
+            g,
+            f"""SELECT ?a ?b ?c ?d WHERE {{
+              ?a <{P0}> ?b .
+              OPTIONAL {{ ?b <{P1}> ?c }}
+              OPTIONAL {{ ?c <{P2}> ?d }}
+            }}""",
+        ).collect()
+    }
+    assert got == want, sorted(triples)
+
+
+# ---------------------------------------------------------------
+# 8b2. negated property sets vs naive complement evaluation
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_negated_property_set_matches_naive(spark, seed):
+    """!(members) against the spec translation evaluated naively:
+    forward triples whose predicate is not a forward member, union
+    swapped triples whose predicate is not an inverse member."""
+    rnd = random.Random(9900 + seed)
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(4)]
+    triples = {
+        (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes))
+        for _ in range(rnd.randint(4, 16))
+    }
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    fwd = rnd.sample(preds, rnd.randint(0, 2))
+    invs = rnd.sample(preds, rnd.randint(0 if fwd else 1, 2))
+
+    want = set()
+    if fwd:
+        want |= {(s, o) for s, p, o in triples if p not in fwd}
+    if invs:
+        want |= {(o, s) for s, p, o in triples if p not in invs}
+
+    members = [f"<{p}>" for p in fwd] + [f"^<{p}>" for p in invs]
+    q = f"SELECT ?x ?y WHERE {{ ?x !({'|'.join(members)}) ?y }}"
+    got = {
+        (r["x"], r["y"]) for r in run_sparql(g, q).collect()
+    }
+    assert got == want, (sorted(triples), fwd, invs)
+
+
+# ---------------------------------------------------------------
 # 8c. VALUES over a maybe-unbound variable vs naive compat-merge
 # ---------------------------------------------------------------
 

@@ -515,6 +515,29 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "sparql_negated_property_set",
+            run_sparql(
+                tstore,
+                """PREFIX dcterms: <http://purl.org/dc/terms/>
+                PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+                SELECT ?s ?o WHERE {
+                  ?s !(rdf:type|dcterms:title|dcterms:identifier) ?o
+                }""",
+            ),
+            [
+                # the complement filter must reach the store as
+                # Not(In(pred, ...)) — a pushed scan, not a
+                # post-scan Filter over the whole table
+                ("Not(In(pred)) pushed to scan", lambda p: "PushedFilters" in p
+                 and "Not(In(pred" in p.split("PushedFilters")[1][:300]),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
