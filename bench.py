@@ -72,6 +72,7 @@ HEADLINE = [
     "kg_sparql_agg",
     "kg_sparql_topk",
     "kg_sparql_pathgroup",
+    "kg_sparql_nps",
 ]
 
 

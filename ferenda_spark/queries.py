@@ -1882,6 +1882,87 @@ SELECT DISTINCT src AS d, dst AS o FROM (
 """
 
 
+def q_kg_sparql_nps(spark, sf_dir):
+    """SPARQL negated property set end-to-end (spec §9.1): the KG's
+    structural out-edges by COMPLEMENT — everything that is not a
+    metadata predicate — plus reverse citation in-edges via an
+    inverse member.  The forward part compiles to Not(In(pred, ...))
+    pushed into the parquet scan; the inverse part is the same
+    complement scan endpoint-swapped; the mixed set unions the two
+    (_nps_scan)."""
+    from ferenda_spark.config import BIBO, DCT, PROV_GENERATED_BY, RDF_TYPE
+    from ferenda_spark.operators.sparql import run_sparql
+
+    meta_preds = "|".join(
+        f"<{p}>"
+        for p in (
+            RDF_TYPE,
+            DCT + "title",
+            DCT + "identifier",
+            DCT + "issued",
+            DCT + "publisher",
+            PROV_GENERATED_BY,
+        )
+    )
+    not_refs = "|".join(
+        f"^<{p}>"
+        for p in (
+            RDF_TYPE,
+            DCT + "title",
+            DCT + "identifier",
+            DCT + "issued",
+            DCT + "publisher",
+            DCT + "isPartOf",
+            BIBO + "chapter",
+            PROV_GENERATED_BY,
+        )
+    )
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        f"SELECT ?s ?o WHERE {{ ?s !({meta_preds}|{not_refs}) ?o }}",
+    )
+
+
+def _oracle_kg_sparql_nps() -> str:
+    """The spec translation restated in SQL: forward complement of
+    the metadata predicates, union the endpoint-swapped complement
+    of everything-but-references."""
+    from ferenda_spark.config import BIBO, DCT, PROV_GENERATED_BY, RDF_TYPE
+
+    t = _kg_t("triples")
+    meta = ", ".join(
+        f"'{p}'"
+        for p in (
+            RDF_TYPE,
+            DCT + "title",
+            DCT + "identifier",
+            DCT + "issued",
+            DCT + "publisher",
+            PROV_GENERATED_BY,
+        )
+    )
+    not_refs = ", ".join(
+        f"'{p}'"
+        for p in (
+            RDF_TYPE,
+            DCT + "title",
+            DCT + "identifier",
+            DCT + "issued",
+            DCT + "publisher",
+            DCT + "isPartOf",
+            BIBO + "chapter",
+            PROV_GENERATED_BY,
+        )
+    )
+    return f"""
+SELECT DISTINCT s, o FROM (
+  SELECT subj AS s, obj AS o FROM {t} WHERE pred NOT IN ({meta})
+  UNION ALL
+  SELECT obj AS s, subj AS o FROM {t} WHERE pred NOT IN ({not_refs})
+)
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2572,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_topk": q_kg_sparql_topk,
         "kg_sparql_pathgroup": q_kg_sparql_pathgroup,
+        "kg_sparql_nps": q_kg_sparql_nps,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2646,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg": ORACLE_KG_SPARQL_AGG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_topk": ORACLE_KG_SPARQL_TOPK_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_pathgroup": _oracle_kg_sparql_pathgroup(),
+        "kg_sparql_nps": _oracle_kg_sparql_nps(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),
