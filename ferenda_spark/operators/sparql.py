@@ -14,13 +14,17 @@ query text runs against the Spark triples table:
   isin scan for ground IRIs, a semi-join for pattern-bound vars)
   · subqueries { SELECT ... } (evaluated bottom-up against the
   dataset, aggregation/LIMIT before the outward compatible join —
-  spec §12) · FROM <g> dataset clauses · basic graph
+  spec §12; usable as UNION branches) · SELECT (expr AS ?alias)
+  projection expressions (§18.2.4.2 Extend, via the BIND
+  translator) · FROM <g> dataset clauses · basic graph
   patterns ('a' = rdf:type) · OPTIONAL { ... } (exact §18.5
   compatible-merge LeftJoin, any body content incl. nested
   OPTIONALs/UNIONs/subqueries) · { ... } UNION
   { ... } chains (branches may be subqueries) · GRAPH <g> { ... } · BIND(?a AS ?b) (keeps term
   metadata) and BIND(expr AS ?b) with CONCAT/UCASE/LCASE/STRLEN/
-  SUBSTR/REPLACE/IF/COALESCE/ABS/ROUND/CEIL/FLOOR · FILTER with
+  SUBSTR/REPLACE/IF/COALESCE/ABS/ROUND/CEIL/FLOOR, plus IRI()/URI()
+  constructors marking the computed term a resource (SPARQL-side
+  URI minting, usable in CONSTRUCT) · FILTER with
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
   CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype(),
   REGEX(?v, "pat"[, "imsq"]) -> RLIKE, LANGMATCHES(LANG(?v), "range")
@@ -278,9 +282,10 @@ def _parse_group(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int]:
             if len(expr) == 1 and expr[0].startswith("?"):
                 g["binds"].append((expr[0][1:], dst))
             else:
+                expr, is_uri = _strip_iri_wrapper(expr)
                 refs = [tk[1:] for tk in expr if tk.startswith("?")]
                 g["binds_expr"].append(
-                    (_filter_sql(expr, prefixes), dst, refs)
+                    (_filter_sql(expr, prefixes), dst, refs, is_uri)
                 )
             i = j
             continue
@@ -581,6 +586,32 @@ def _emit_path(
             emit_seq(b, seq)
             branches.append(b)
         g["unions"].append(branches)
+
+
+def _strip_iri_wrapper(expr: list) -> tuple[list, bool]:
+    """A top-level ``IRI(...)`` / ``URI(...)`` wrapper around a BIND
+    or projection expression (spec §17.4.2.8): the computed term is
+    a URI — strip the wrapper and flag it so the bound variable's
+    term metadata says so (CONSTRUCT re-emits it as a resource, not
+    a literal).  No relative-IRI base resolution: the engine's
+    stores hold absolute IRIs, matching the reference's COIN-minted
+    URI space."""
+    if (
+        len(expr) >= 3
+        and expr[0].upper() in ("IRI", "URI")
+        and expr[1] == "("
+        and expr[-1] == ")"
+    ):
+        d = 0
+        for k, tk in enumerate(expr[1:], 1):
+            if tk == "(":
+                d += 1
+            elif tk == ")":
+                d -= 1
+            if d == 0 and k != len(expr) - 1:
+                return expr, False  # the '(' closes early: not a wrapper
+        return expr[2:-1], True
+    return expr, False
 
 
 _FILTER_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "="}
@@ -1008,6 +1039,7 @@ def _parse_toks(toks: list[str]) -> dict:
         "from_graphs": [],
         "aggs": [],
         "proj": [],
+        "proj_exprs": [],
         "group_by": [],
         "having": None,
         "having_aggs": [],
@@ -1084,6 +1116,10 @@ def _parse_toks(toks: list[str]) -> dict:
         or out["group_by"] or out["having"] is not None
     ):
         raise SparqlSyntaxError(f"{form} takes no solution modifiers")
+    # projection expressions become BINDs at the end of the WHERE
+    # group — the spec's Extend over the group's solutions
+    for pe in out["proj_exprs"]:
+        out["where"]["binds_expr"].append(pe)
     _validate_select(out)
     return out
 
@@ -1114,16 +1150,58 @@ def _parse_select_head(toks: list[str], i: int, prefixes: dict, out: dict) -> in
         elif t == "*":
             i += 1
         elif t == "(":
-            # projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
-            agg, i = _parse_agg(toks, i + 1, prefixes)
-            if toks[i].upper() != "AS" or not toks[i + 1].startswith("?"):
-                raise SparqlSyntaxError("aggregate needs AS ?alias")
-            agg["alias"] = toks[i + 1][1:]
-            if toks[i + 2] != ")":
-                raise SparqlSyntaxError("unclosed (AGG(...) AS ?alias)")
-            out["aggs"].append(agg)
-            out["proj"].append(agg["alias"])
-            i += 3
+            if i + 1 < len(toks) and toks[i + 1].upper() in _AGG_FUNCS:
+                # projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
+                agg, i = _parse_agg(toks, i + 1, prefixes)
+                if toks[i].upper() != "AS" or not toks[i + 1].startswith("?"):
+                    raise SparqlSyntaxError("aggregate needs AS ?alias")
+                agg["alias"] = toks[i + 1][1:]
+                if toks[i + 2] != ")":
+                    raise SparqlSyntaxError("unclosed (AGG(...) AS ?alias)")
+                out["aggs"].append(agg)
+                out["proj"].append(agg["alias"])
+                i += 3
+                continue
+            # projection expression (spec §18.2.4.2 Extend):
+            # (expr AS ?alias) — compiled via the BIND/FILTER
+            # expression translator and injected as a BIND at the
+            # end of the WHERE group (exact: Extend is evaluated
+            # over the group's solutions before projection)
+            depth, j = 1, i + 1
+            while j < len(toks) and depth:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlSyntaxError("unclosed '(expr AS ?alias)'")
+            inner = toks[i + 1 : j - 1]
+            d2, k_as = 0, None
+            for k, tk in enumerate(inner):
+                if tk == "(":
+                    d2 += 1
+                elif tk == ")":
+                    d2 -= 1
+                elif d2 == 0 and tk.upper() == "AS":
+                    k_as = k
+            if (
+                k_as is None
+                or k_as != len(inner) - 2
+                or not inner[-1].startswith("?")
+            ):
+                raise SparqlSyntaxError(
+                    "projection expression needs (expr AS ?alias)"
+                )
+            dst = inner[-1][1:]
+            expr, is_uri = _strip_iri_wrapper(inner[:k_as])
+            refs = [tk[1:] for tk in expr if tk.startswith("?")]
+            out["proj_exprs"].append(
+                (_filter_sql(expr, prefixes), dst, refs, is_uri)
+            )
+            out["select_vars"].append(dst)
+            out["proj"].append(dst)
+            i = j
         else:
             break
     return i
@@ -1209,6 +1287,14 @@ def _validate_select(out: dict) -> None:
     """Spec §18.2.4 Grouping: in an aggregated SELECT every plainly
     projected variable must be a grouping key, and HAVING is only
     meaningful over groups."""
+    if out["proj_exprs"] and (
+        out["aggs"] or out["group_by"] or out["having"] is not None
+    ):
+        raise SparqlSyntaxError(
+            "projection expressions cannot be combined with "
+            "aggregation — BIND the expression inside the WHERE "
+            "group (or wrap the aggregate in a subquery) instead"
+        )
     if out["aggs"] or out["group_by"] or out["having"] is not None:
         ungrouped = [v for v in out["select_vars"] if v not in out["group_by"]]
         if ungrouped:
@@ -1236,6 +1322,7 @@ def _parse_subselect(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int
         "select_vars": [],
         "aggs": [],
         "proj": [],
+        "proj_exprs": [],
         "count": False,
         "group_by": [],
         "having": None,
@@ -1249,6 +1336,8 @@ def _parse_subselect(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int
     i = _parse_modifiers(toks, i, prefixes, sub, end_at_brace=True)
     if i >= len(toks) or toks[i] != "}":
         raise SparqlSyntaxError("unterminated subquery (missing '}')")
+    for pe in sub["proj_exprs"]:
+        sub["where"]["binds_expr"].append(pe)
     _validate_select(sub)
     return sub, i + 1
 
@@ -1566,9 +1655,10 @@ def _compile_group(
         for m in ("_isuri_", "_lang_", "_dt_"):
             if f"{m}{src}" in df.columns:
                 df = df.withColumn(f"{m}{dst}", F.col(f"{m}{src}"))
-    for sql, dst, refs in g["binds_expr"]:
+    for sql, dst, refs, is_uri in g["binds_expr"]:
         # expression BIND: result is a computed plain literal (cast
-        # to the engine's string term type, no lang/datatype)
+        # to the engine's string term type, no lang/datatype) — or a
+        # URI when the expression was wrapped in IRI()/URI()
         if dst in df.columns:
             raise SparqlSyntaxError(
                 f"BIND would rebind already-bound variable ?{dst}"
@@ -1579,7 +1669,7 @@ def _compile_group(
                     f"BIND expression references unbound variable ?{r}"
                 )
         df = df.withColumn(dst, F.expr(sql).cast("string"))
-        df = df.withColumn(f"_isuri_{dst}", F.lit(False))
+        df = df.withColumn(f"_isuri_{dst}", F.lit(bool(is_uri)))
         if any(r in nulls for r in refs):
             nulls.add(dst)
     for kind, sub in g["minus"]:

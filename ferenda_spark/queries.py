@@ -1963,6 +1963,47 @@ SELECT DISTINCT s, o FROM (
 """
 
 
+def q_kg_sparql_mint(spark, sf_dir):
+    """SPARQL-side URI minting end-to-end (the relational reading of
+    COIN slug templates, C8): CONSTRUCT new resource-valued triples
+    whose objects are minted with BIND(IRI(CONCAT(...))) from each
+    document's identifier — the term carries obj_is_uri=TRUE into
+    the triples schema, so the output feeds a triplestore sink
+    directly."""
+    from ferenda_spark.config import DCT
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        f"""
+        PREFIX dcterms: <{DCT}>
+        CONSTRUCT {{ ?d <https://kg.example.org/vocab/slugOf> ?m }}
+        WHERE {{
+          ?d dcterms:identifier ?id .
+          BIND(IRI(CONCAT("https://kg.example.org/slug/", ?id)) AS ?m)
+        }}
+        """,
+    )
+
+
+def _oracle_kg_sparql_mint() -> str:
+    """The minted triple set rebuilt with string concatenation over
+    the identifier triples (set semantics, full engine triples
+    schema)."""
+    from ferenda_spark.config import DCT
+
+    return f"""
+SELECT DISTINCT subj,
+       'https://kg.example.org/vocab/slugOf' AS pred,
+       'https://kg.example.org/slug/' || obj AS obj,
+       TRUE AS obj_is_uri,
+       CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS datatype
+FROM {_kg_t("triples")}
+WHERE pred = '{DCT}identifier'
+"""
+
+
 def q_kg_edges(spark, sf_dir):
     """relate: cross-document dependency edges (J1)."""
     return _kg(spark, sf_dir).edges.select("src_url", "dst_url", "pred")
@@ -2654,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_topk": q_kg_sparql_topk,
         "kg_sparql_pathgroup": q_kg_sparql_pathgroup,
         "kg_sparql_nps": q_kg_sparql_nps,
+        "kg_sparql_mint": q_kg_sparql_mint,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
         "kg_pagerank": q_kg_pagerank,
@@ -2729,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_topk": ORACLE_KG_SPARQL_TOPK_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_pathgroup": _oracle_kg_sparql_pathgroup(),
         "kg_sparql_nps": _oracle_kg_sparql_nps(),
+        "kg_sparql_mint": _oracle_kg_sparql_mint(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),
         "kg_canon": _oracle_kg_canon(),

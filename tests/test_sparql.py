@@ -882,6 +882,83 @@ def test_quantified_parenthesized_path_refusals(g):
             run_sparql(g, bad)
 
 
+def test_projection_expressions(g):
+    """SELECT (expr AS ?alias) (spec §18.2.4.2 Extend): compiled via
+    the BIND translator and injected at the end of the WHERE group —
+    exact Extend-then-project; refused alongside aggregation (use
+    BIND or a subquery there)."""
+    got = run_sparql(
+        g,
+        "SELECT ?d (UCASE(?t) AS ?u) WHERE "
+        "{ ?d <title> ?t . ?d <type> <Doc> }",
+    ).collect()
+    assert sorted(map(tuple, got)) == [("d1", "ALPHA"), ("d2", "BETA")]
+    got = run_sparql(
+        g,
+        'SELECT (CONCAT(?t, "/", ?y) AS ?k) WHERE '
+        "{ ?d <title> ?t ; <issued> ?y }",
+    ).collect()
+    assert sorted(r["k"] for r in got) == ["Alpha/2004-01", "Beta/1999-06"]
+    # inside a subquery: Extend applies before the outward join
+    got = run_sparql(
+        g,
+        "SELECT ?u WHERE { { SELECT (UCASE(?t) AS ?u) "
+        "WHERE { ?d <title> ?t } } }",
+    ).collect()
+    assert sorted(r["u"] for r in got) == ["ALPHA", "BETA", "INTRO"]
+    for bad in [
+        # aggregation + projection expression: spelled-out refusal
+        "SELECT (COUNT(*) AS ?n) (STRLEN(?t) AS ?l) WHERE "
+        "{ ?d <title> ?t }",
+        # the alias must be fresh (spec: Extend requires unbound var)
+        "SELECT (UCASE(?t) AS ?t) WHERE { ?d <title> ?t }",
+        # AS ?alias is mandatory
+        "SELECT (UCASE(?t)) WHERE { ?d <title> ?t }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g, bad)
+
+
+def test_iri_constructor(g):
+    """IRI()/URI() around a BIND or projection expression
+    (spec §17.4.2.8): the computed term is a resource — isURI sees
+    it and CONSTRUCT emits it with obj_is_uri, the SPARQL side of
+    URI minting."""
+    got = run_sparql(
+        g,
+        """CONSTRUCT { ?d <minted> ?m } WHERE {
+          ?d <type> <Doc> .
+          BIND(IRI(CONCAT("https://x.org/", ?d)) AS ?m)
+        }""",
+    ).collect()
+    assert sorted((r["subj"], r["obj"], r["obj_is_uri"]) for r in got) == [
+        ("d1", "https://x.org/d1", True),
+        ("d2", "https://x.org/d2", True),
+    ]
+    got = run_sparql(
+        g,
+        'SELECT (URI(CONCAT("https://x.org/", ?d)) AS ?m) '
+        "WHERE { ?d <type> <Doc> }",
+    ).collect()
+    assert sorted(r["m"] for r in got) == [
+        "https://x.org/d1", "https://x.org/d2",
+    ]
+    # an un-wrapped computed term stays a literal
+    got = run_sparql(
+        g,
+        'SELECT ?d WHERE { ?d <type> <Doc> . '
+        'BIND(CONCAT("x", ?d) AS ?m) FILTER(!isURI(?m)) }',
+    ).collect()
+    assert sorted(r["d"] for r in got) == ["d1", "d2"]
+    # IRI( must wrap the WHOLE expression to count as a constructor
+    got = run_sparql(
+        g,
+        'SELECT ?d WHERE { ?d <type> <Doc> . '
+        'BIND(CONCAT(STR(?d), "x") AS ?m) FILTER(!isURI(?m)) }',
+    ).collect()
+    assert sorted(r["d"] for r in got) == ["d1", "d2"]
+
+
 def test_optional_exact_compat_left(g):
     """OPTIONAL is the exact spec §18.5 LeftJoin: a solution whose
     shared variable is unbound is compatible with EVERY body row
