@@ -28,7 +28,8 @@ query text runs against the Spark triples table:
   comparisons, && || !, ?x IN (...), STR(), STRSTARTS()/STRENDS()/
   CONTAINS(), BOUND(), isUri()/isIRI()/isLiteral()/lang()/datatype(),
   REGEX(?v, "pat"[, "imsq"]) -> RLIKE, LANGMATCHES(LANG(?v), "range")
-  (RFC 4647 basic filtering), exact STRBEFORE/STRAFTER special
+  (RFC 4647 basic filtering), exact STRBEFORE/STRAFTER and
+  ENCODE_FOR_URI (RFC 3986 per-code-point percent-encoding) special
   forms, binary + - * / and unary minus over TRY_CAST doubles
   (division is try_divide — a type error or /0 drops the row, never
   an ANSI task failure)
@@ -631,9 +632,10 @@ _SQL_FUNCS = {
     "ROUND": "round",
     "CEIL": "ceil",
     "FLOOR": "floor",
-    # deliberately absent: ENCODE_FOR_URI (Spark url_encode is
-    # form-encoding, space becomes '+' not %20) — map only where
-    # semantics are exact.  STRBEFORE/STRAFTER are special forms
+    # ENCODE_FOR_URI is a special form below (Spark url_encode is
+    # form-encoding, space becomes '+' not %20 — the exact RFC 3986
+    # encoding is built per code point instead).
+    # STRBEFORE/STRAFTER are special forms
     # below (substring_index alone diverges on a missing separator:
     # it returns the whole string where SPARQL returns "")
 }
@@ -836,6 +838,31 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                     f"({tag} = '{rng}' OR {tag} LIKE '{rng}-%')"
                 )
             i += 9
+            continue
+        elif u == "ENCODE_FOR_URI":
+            # exact RFC 3986 percent-encoding (spec §17.4.2.7):
+            # unreserved characters pass, everything else becomes
+            # the uppercase-hex %-encoding of its UTF-8 bytes.
+            # Spark's url_encode is form-encoding (space -> '+'),
+            # so this is built per code point: split to chars
+            # (Spark splits on code points, astral chars intact —
+            # verified against urllib.parse.quote incl. emoji),
+            # encode each, join.  Pure Catalyst expressions.
+            if not (
+                i + 3 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ")"
+            ):
+                raise SparqlSyntaxError("ENCODE_FOR_URI needs (?var)")
+            v = toks[i + 2][1:]
+            out.append(
+                f"array_join(transform(split({v}, ''), _c -> "
+                "CASE WHEN _c RLIKE '^[A-Za-z0-9._~-]$' THEN _c "
+                "ELSE regexp_replace(hex(encode(_c, 'UTF-8')), "
+                "'(..)', '%$1') END), '')"
+            )
+            i += 4
             continue
         elif u in ("STRBEFORE", "STRAFTER"):
             # exact SPARQL semantics including the missing-separator

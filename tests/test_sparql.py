@@ -919,6 +919,29 @@ def test_projection_expressions(g):
             run_sparql(g, bad)
 
 
+def test_encode_for_uri_exact(spark):
+    """ENCODE_FOR_URI: exact RFC 3986 percent-encoding per code
+    point (uppercase hex of the UTF-8 bytes, unreserved chars pass)
+    — checked against urllib.parse.quote, including multibyte and
+    astral characters."""
+    import urllib.parse
+
+    vals = [
+        "hello", "a b&c", "héllo/wörld", "x~-_.y", "100% legit",
+        "emoji \U0001f600 end", "ümläut+plus", "",
+    ]
+    rows = [(f"s{k}", "val", v, False, None, None)
+            for k, v in enumerate(vals)]
+    g2 = spark.createDataFrame(rows, SCHEMA)
+    got = run_sparql(
+        g2,
+        "SELECT ?v (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <val> ?v }",
+    ).collect()
+    for r in got:
+        assert r["e"] == urllib.parse.quote(r["v"], safe="-_.~"), r["v"]
+    assert len(got) == len(set(vals))
+
+
 def test_iri_constructor(g):
     """IRI()/URI() around a BIND or projection expression
     (spec §17.4.2.8): the computed term is a resource — isURI sees

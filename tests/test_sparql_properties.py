@@ -834,6 +834,41 @@ def test_chained_optionals_match_naive(spark, seed):
 
 
 # ---------------------------------------------------------------
+# 8b1. ENCODE_FOR_URI vs urllib.parse.quote on random unicode
+# ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_encode_for_uri_matches_urllib(spark, seed):
+    """Random unicode strings (ASCII, Latin-1, CJK, astral planes,
+    percent signs) through ENCODE_FOR_URI must equal Python's
+    urllib.parse.quote with the RFC 3986 unreserved set."""
+    import urllib.parse
+
+    rnd = random.Random(9400 + seed)
+    pools = [
+        lambda: chr(rnd.randint(32, 126)),
+        lambda: chr(rnd.randint(0xA0, 0x2FF)),
+        lambda: chr(rnd.randint(0x4E00, 0x4FFF)),
+        lambda: chr(rnd.randint(0x1F300, 0x1F64F)),
+        lambda: "%",
+    ]
+    vals = [
+        "".join(rnd.choice(pools)() for _ in range(rnd.randint(0, 12)))
+        for _ in range(12)
+    ]
+    rows = [(f"s{k}", "val", v, False, None, None)
+            for k, v in enumerate(vals)]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = run_sparql(
+        g, "SELECT ?s ?v (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <val> ?v }"
+    ).collect()
+    assert len(got) == len({(f"s{k}", v) for k, v in enumerate(vals)})
+    for r in got:
+        assert r["e"] == urllib.parse.quote(r["v"], safe="-_.~"), repr(r["v"])
+
+
+# ---------------------------------------------------------------
 # 8b2. negated property sets vs naive complement evaluation
 # ---------------------------------------------------------------
 
