@@ -16,7 +16,11 @@ query text runs against the Spark triples table:
   dataset, aggregation/LIMIT before the outward compatible join —
   spec §12; usable as UNION branches) · SELECT (expr AS ?alias)
   projection expressions (§18.2.4.2 Extend, via the BIND
-  translator) · FROM <g> dataset clauses · basic graph
+  translator; in an aggregated SELECT they evaluate AFTER
+  Aggregation — embedded aggregate calls become hidden aggregate
+  columns, so (SUM(?x)/COUNT(?x) AS ?r), expressions over group
+  keys and chained alias references work) · FROM <g> dataset
+  clauses · basic graph
   patterns ('a' = rdf:type) · OPTIONAL { ... } (exact §18.5
   compatible-merge LeftJoin, any body content incl. nested
   OPTIONALs/UNIONs/subqueries) · { ... } UNION
@@ -1067,6 +1071,8 @@ def _parse_toks(toks: list[str]) -> dict:
         "aggs": [],
         "proj": [],
         "proj_exprs": [],
+        "proj_hidden_aggs": [],
+        "agg_proj_exprs": [],
         "group_by": [],
         "having": None,
         "having_aggs": [],
@@ -1143,12 +1149,27 @@ def _parse_toks(toks: list[str]) -> dict:
         or out["group_by"] or out["having"] is not None
     ):
         raise SparqlSyntaxError(f"{form} takes no solution modifiers")
-    # projection expressions become BINDs at the end of the WHERE
-    # group — the spec's Extend over the group's solutions
-    for pe in out["proj_exprs"]:
-        out["where"]["binds_expr"].append(pe)
+    _route_proj_exprs(out)
     _validate_select(out)
     return out
+
+
+def _route_proj_exprs(out: dict) -> None:
+    """Route SELECT projection expressions to their evaluation
+    point.  Plain SELECT: BINDs at the end of the WHERE group (the
+    spec's Extend over the group's solutions).  Aggregated SELECT
+    (spec §18.2.4.2: Extend is applied AFTER Aggregation): computed
+    post-groupBy in _run_select, in head order so a later expression
+    may reference an earlier alias."""
+    if (
+        out["aggs"] or out["group_by"] or out["having"] is not None
+        or out["proj_hidden_aggs"]
+    ):
+        out["agg_proj_exprs"] = out["proj_exprs"]
+        out["proj_exprs"] = []
+    else:
+        for pe in out["proj_exprs"]:
+            out["where"]["binds_expr"].append(pe)
 
 
 def _parse_select_head(toks: list[str], i: int, prefixes: dict, out: dict) -> int:
@@ -1177,23 +1198,9 @@ def _parse_select_head(toks: list[str], i: int, prefixes: dict, out: dict) -> in
         elif t == "*":
             i += 1
         elif t == "(":
-            if i + 1 < len(toks) and toks[i + 1].upper() in _AGG_FUNCS:
-                # projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
-                agg, i = _parse_agg(toks, i + 1, prefixes)
-                if toks[i].upper() != "AS" or not toks[i + 1].startswith("?"):
-                    raise SparqlSyntaxError("aggregate needs AS ?alias")
-                agg["alias"] = toks[i + 1][1:]
-                if toks[i + 2] != ")":
-                    raise SparqlSyntaxError("unclosed (AGG(...) AS ?alias)")
-                out["aggs"].append(agg)
-                out["proj"].append(agg["alias"])
-                i += 3
-                continue
-            # projection expression (spec §18.2.4.2 Extend):
-            # (expr AS ?alias) — compiled via the BIND/FILTER
-            # expression translator and injected as a BIND at the
-            # end of the WHERE group (exact: Extend is evaluated
-            # over the group's solutions before projection)
+            # all three parenthesized forms — (AGG(...) AS ?a),
+            # (expr-with-aggregates AS ?a), (plain expr AS ?a) —
+            # share the balanced-close / top-level-AS scan
             depth, j = 1, i + 1
             while j < len(toks) and depth:
                 if toks[j] == "(":
@@ -1222,9 +1229,41 @@ def _parse_select_head(toks: list[str], i: int, prefixes: dict, out: dict) -> in
                 )
             dst = inner[-1][1:]
             expr, is_uri = _strip_iri_wrapper(inner[:k_as])
-            refs = [tk[1:] for tk in expr if tk.startswith("?")]
+            if not is_uri and expr and expr[0].upper() in _AGG_FUNCS:
+                # plain projected aggregate: (AGG([DISTINCT] ?v|*) AS ?a)
+                agg, k_end = _parse_agg(expr, 0, prefixes)
+                if k_end == len(expr):
+                    agg["alias"] = dst
+                    out["aggs"].append(agg)
+                    out["proj"].append(dst)
+                    i = j
+                    continue
+            # projection expression (spec §18.2.4.2 Extend):
+            # (expr AS ?alias) — compiled via the BIND/FILTER
+            # expression translator.  Aggregate calls inside the
+            # expression are rewritten to hidden aggregate columns
+            # (same trick as HAVING); routing decides later whether
+            # the expression evaluates pre-projection (a BIND at the
+            # end of the WHERE group) or post-aggregation (spec:
+            # Extend is applied AFTER Aggregation) — see
+            # _route_proj_exprs
+            rewritten, k = [], 0
+            while k < len(expr):
+                if (
+                    expr[k].upper() in _AGG_FUNCS
+                    and k + 1 < len(expr)
+                    and expr[k + 1] == "("
+                ):
+                    agg, k = _parse_agg(expr, k, prefixes)
+                    agg["alias"] = f"_pa{len(out['proj_hidden_aggs'])}"
+                    out["proj_hidden_aggs"].append(agg)
+                    rewritten.append("?" + agg["alias"])
+                else:
+                    rewritten.append(expr[k])
+                    k += 1
+            refs = [tk[1:] for tk in rewritten if tk.startswith("?")]
             out["proj_exprs"].append(
-                (_filter_sql(expr, prefixes), dst, refs, is_uri)
+                (_filter_sql(rewritten, prefixes), dst, refs, is_uri)
             )
             out["select_vars"].append(dst)
             out["proj"].append(dst)
@@ -1314,16 +1353,52 @@ def _validate_select(out: dict) -> None:
     """Spec §18.2.4 Grouping: in an aggregated SELECT every plainly
     projected variable must be a grouping key, and HAVING is only
     meaningful over groups."""
-    if out["proj_exprs"] and (
-        out["aggs"] or out["group_by"] or out["having"] is not None
-    ):
-        raise SparqlSyntaxError(
-            "projection expressions cannot be combined with "
-            "aggregation — BIND the expression inside the WHERE "
-            "group (or wrap the aggregate in a subquery) instead"
+    if out["aggs"] or out["agg_proj_exprs"]:
+        # every introduced name (aggregate alias, expression alias)
+        # must be fresh — a duplicate would make the projection
+        # ambiguous (spec: Extend/Aggregation bind unbound vars)
+        names = (
+            list(out["group_by"])
+            + [a["alias"] for a in out["aggs"]]
+            + [pe[1] for pe in out["agg_proj_exprs"]]
         )
-    if out["aggs"] or out["group_by"] or out["having"] is not None:
-        ungrouped = [v for v in out["select_vars"] if v not in out["group_by"]]
+        dups = sorted({n for n in names if names.count(n) > 1})
+        if dups:
+            raise SparqlSyntaxError(
+                f"duplicate binding(s) {dups} in aggregated SELECT"
+            )
+    if out["agg_proj_exprs"]:
+        # spec §18.2.4.2 over an aggregated group: an expression may
+        # reference group keys, aggregate aliases and earlier
+        # expression aliases only (everything else is not a single
+        # value per group)
+        allowed = set(out["group_by"])
+        allowed |= {a["alias"] for a in out["aggs"]}
+        allowed |= {a["alias"] for a in out["proj_hidden_aggs"]}
+        for _sql, dst, refs, _is_uri in out["agg_proj_exprs"]:
+            bad = [r for r in refs if r not in allowed]
+            if bad:
+                raise SparqlSyntaxError(
+                    f"projection expression for ?{dst} references "
+                    f"{bad} — in an aggregated SELECT an expression "
+                    "may only use GROUP BY keys, aggregate aliases "
+                    "and earlier expression aliases"
+                )
+            if dst in allowed:
+                raise SparqlSyntaxError(
+                    "projection expression would rebind "
+                    f"already-bound variable ?{dst}"
+                )
+            allowed.add(dst)
+    if (
+        out["aggs"] or out["group_by"] or out["having"] is not None
+        or out["proj_hidden_aggs"]
+    ):
+        expr_aliases = {pe[1] for pe in out["agg_proj_exprs"]}
+        ungrouped = [
+            v for v in out["select_vars"]
+            if v not in out["group_by"] and v not in expr_aliases
+        ]
         if ungrouped:
             raise SparqlSyntaxError(
                 f"variable(s) {ungrouped} are projected but neither "
@@ -1350,6 +1425,8 @@ def _parse_subselect(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int
         "aggs": [],
         "proj": [],
         "proj_exprs": [],
+        "proj_hidden_aggs": [],
+        "agg_proj_exprs": [],
         "count": False,
         "group_by": [],
         "having": None,
@@ -1363,8 +1440,7 @@ def _parse_subselect(toks: list[str], i: int, prefixes: dict) -> tuple[dict, int
     i = _parse_modifiers(toks, i, prefixes, sub, end_at_brace=True)
     if i >= len(toks) or toks[i] != "}":
         raise SparqlSyntaxError("unterminated subquery (missing '}')")
-    for pe in sub["proj_exprs"]:
-        sub["where"]["binds_expr"].append(pe)
+    _route_proj_exprs(sub)
     _validate_select(sub)
     return sub, i + 1
 
@@ -1790,11 +1866,14 @@ def _run_select(
     outward."""
     from pyspark.sql import functions as F
 
-    if q["aggs"] or q["group_by"] or q["having"] is not None:
+    if (
+        q["aggs"] or q["group_by"] or q["having"] is not None
+        or q["proj_hidden_aggs"]
+    ):
         # grouped/aggregated SELECT: aggregate over the DISTINCT
         # visible solutions (set semantics, consistent with bare
         # COUNT(*) below), map-side partial aggregation for free
-        all_aggs = q["aggs"] + q["having_aggs"]
+        all_aggs = q["aggs"] + q["having_aggs"] + q["proj_hidden_aggs"]
         needed = set(q["group_by"]) | {
             a["var"] for a in all_aggs if a["var"]
         }
@@ -1811,6 +1890,16 @@ def _run_select(
             out = base.select(*q["group_by"]).distinct()
         if q["having"] is not None:
             out = out.filter(F.expr(q["having"]))
+        # Extend after Aggregation (spec §18.2.4.2): projection
+        # expressions over group keys / aggregate aliases, in head
+        # order (a later expression may reference an earlier alias);
+        # the hidden _pa<N> aggregate columns are dropped by the
+        # projection below.  The alias keeps its natural Catalyst
+        # type (consistent with plain aggregate aliases — COUNT is a
+        # long, SUM a double — and it makes ORDER BY ?alias numeric
+        # where the expression is numeric).
+        for sql, dst, _refs, _is_uri in q["agg_proj_exprs"]:
+            out = out.withColumn(dst, F.expr(sql))
         vars_ = q["proj"]
         out = out.select(*vars_)
         # group keys keep their input nullability; every aggregate
@@ -1820,7 +1909,7 @@ def _run_select(
         # pieces if the alias later joins)
         out_nulls = (nulls & set(q["group_by"])) | {
             a["alias"] for a in q["aggs"] if a["func"] != "COUNT"
-        }
+        } | {pe[1] for pe in q["agg_proj_exprs"]}
     else:
         vars_ = q["select_vars"] or sorted(
             c for c in sols.columns

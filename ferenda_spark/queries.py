@@ -1840,6 +1840,41 @@ WHERE ti.pred = 'http://purl.org/dc/terms/title'
 """
 
 
+def q_kg_sparql_aggexpr(spark, sf_dir):
+    """SPARQL projection expressions over aggregates end-to-end
+    (spec §18.2.4.2: Extend applied AFTER Aggregation): per-predicate
+    fan-out — COUNT(*)/COUNT(DISTINCT ?s) computed post-groupBy from
+    hidden aggregate columns, plus a string expression over the group
+    key; still one partial-agg shuffle (the extra aggregate rides the
+    same groupBy, the division/concat are per-group scalar ops)."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        """
+        SELECT ?p (COUNT(*) AS ?n)
+               (COUNT(*)/COUNT(DISTINCT ?s) AS ?fanout)
+               (CONCAT(STR(?p), "#stat") AS ?tag)
+        WHERE { ?s ?p ?o }
+        GROUP BY ?p
+        HAVING (COUNT(*) >= 10)
+        """,
+    )
+
+
+#: twin: dedup triples (set semantics); the fan-out ratio is one IEEE
+#: division of two exact integer counts — bit-identical on both
+#: engines, so the value-hash compare is safe on the double column
+ORACLE_KG_SPARQL_AGGEXPR_TMPL = """
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {t})
+SELECT pred AS p, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT subj) AS DOUBLE)
+         AS fanout,
+       pred || '#stat' AS tag
+FROM t GROUP BY pred HAVING COUNT(*) >= 10
+"""
+
+
 def q_kg_sparql_pathgroup(spark, sf_dir):
     """SPARQL quantified parenthesized path end-to-end (spec §9.1
     PathMod over a grouped path): doc-level citation reachability —
@@ -2693,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_neg": q_kg_sparql_neg,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_topk": q_kg_sparql_topk,
+        "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
         "kg_sparql_pathgroup": q_kg_sparql_pathgroup,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_mint": q_kg_sparql_mint,
@@ -2769,6 +2805,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_neg": ORACLE_KG_SPARQL_NEG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_agg": ORACLE_KG_SPARQL_AGG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_topk": ORACLE_KG_SPARQL_TOPK_TMPL.format(t=_kg_t("triples")),
+        "kg_sparql_aggexpr": ORACLE_KG_SPARQL_AGGEXPR_TMPL.format(
+            t=_kg_t("triples")
+        ),
         "kg_sparql_pathgroup": _oracle_kg_sparql_pathgroup(),
         "kg_sparql_nps": _oracle_kg_sparql_nps(),
         "kg_sparql_mint": _oracle_kg_sparql_mint(),

@@ -885,8 +885,9 @@ def test_quantified_parenthesized_path_refusals(g):
 def test_projection_expressions(g):
     """SELECT (expr AS ?alias) (spec §18.2.4.2 Extend): compiled via
     the BIND translator and injected at the end of the WHERE group —
-    exact Extend-then-project; refused alongside aggregation (use
-    BIND or a subquery there)."""
+    exact Extend-then-project; alongside aggregation the expression
+    may only use group keys / aggregate aliases (see
+    test_aggregate_projection_expressions)."""
     got = run_sparql(
         g,
         "SELECT ?d (UCASE(?t) AS ?u) WHERE "
@@ -907,7 +908,8 @@ def test_projection_expressions(g):
     ).collect()
     assert sorted(r["u"] for r in got) == ["ALPHA", "BETA", "INTRO"]
     for bad in [
-        # aggregation + projection expression: spelled-out refusal
+        # aggregated SELECT: the expression references a var that is
+        # neither a group key nor an aggregate alias
         "SELECT (COUNT(*) AS ?n) (STRLEN(?t) AS ?l) WHERE "
         "{ ?d <title> ?t }",
         # the alias must be fresh (spec: Extend requires unbound var)
@@ -917,6 +919,91 @@ def test_projection_expressions(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_aggregate_projection_expressions(spark):
+    """Projection expressions over aggregates (spec §18.2.4.2:
+    Extend is applied AFTER Aggregation): aggregate calls inside the
+    expression become hidden aggregate columns (the HAVING trick),
+    the rest evaluates post-groupBy; group keys and earlier aliases
+    are referencable, anything else is refused."""
+    rows = []
+    for s, vs in {"a": [1, 2, 3], "b": [10, 20]}.items():
+        rows.append((f"urn:{s}", "urn:grp", s, False, None, None))
+        for v in vs:
+            rows.append((f"urn:{s}", "urn:val", str(v), False, None, None))
+    g2 = spark.createDataFrame(rows, SCHEMA)
+    body = "WHERE { ?s <urn:grp> ?k . ?s <urn:val> ?v }"
+
+    got = run_sparql(
+        g2,
+        f"SELECT ?k (SUM(?v)/COUNT(?v) AS ?avg) (SUM(?v)+1 AS ?p) "
+        f"{body} GROUP BY ?k ORDER BY ?k",
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("a", 2.0, 7.0), ("b", 15.0, 31.0)]
+
+    # expr over a group key + chained reference to an earlier alias
+    got = run_sparql(
+        g2,
+        f"SELECT ?k (COUNT(?v) AS ?n) (UCASE(?k) AS ?u) (?n+1 AS ?n1) "
+        f"{body} GROUP BY ?k ORDER BY ?k",
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("a", 3, "A", 4.0), ("b", 2, "B", 3.0)]
+
+    # implicit single group (no GROUP BY)
+    got = run_sparql(
+        g2, "SELECT (COUNT(?v)*2 AS ?y) WHERE { ?s <urn:val> ?v }"
+    ).collect()
+    assert [r["y"] for r in got] == [10.0]
+
+    # IRI() around an aggregate expression: computed resource
+    got = run_sparql(
+        g2,
+        f'SELECT ?k (IRI(CONCAT("urn:n/", STR(COUNT(?v)))) AS ?u) '
+        f"{body} GROUP BY ?k ORDER BY ?k",
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", "urn:n/3"), ("b", "urn:n/2")]
+
+    # composes with HAVING (hidden _h and _pa aggregates coexist)
+    got = run_sparql(
+        g2,
+        f"SELECT ?k (SUM(?v)*10 AS ?t) {body} "
+        f"GROUP BY ?k HAVING (COUNT(?v) > 2)",
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", 60.0)]
+
+    # inside a subquery, joined outward on the group key
+    got = run_sparql(
+        g2,
+        "SELECT ?k ?t WHERE { ?s <urn:grp> ?k . "
+        "{ SELECT ?k (SUM(?v)+0.5 AS ?t) WHERE "
+        "{ ?s2 <urn:grp> ?k . ?s2 <urn:val> ?v } GROUP BY ?k } } "
+        "ORDER BY ?k",
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", 6.5), ("b", 30.5)]
+
+    # ORDER BY the expression alias (post-agg column exists)
+    got = run_sparql(
+        g2,
+        f"SELECT ?k (SUM(?v)*1 AS ?t) {body} GROUP BY ?k "
+        f"ORDER BY DESC(?t) LIMIT 1",
+    ).collect()
+    assert [tuple(r) for r in got] == [("b", 30.0)]
+
+    for bad in [
+        # non-group-key variable inside the expression
+        f"SELECT ?k (?v+1 AS ?y) (COUNT(?v) AS ?n) {body} GROUP BY ?k",
+        # rebinding a group key
+        f"SELECT ?k (UCASE(?k) AS ?k) {body} GROUP BY ?k",
+        # rebinding an aggregate alias
+        f"SELECT (COUNT(?v) AS ?n) (SUM(?v) AS ?n) {body} GROUP BY ?k",
+        # aggregates over expressions stay unsupported
+        f"SELECT (SUM(?v+1) AS ?y) {body} GROUP BY ?k",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_sparql(g2, bad)
 
 
 def test_encode_for_uri_exact(spark):

@@ -650,6 +650,56 @@ def test_aggregates_match_naive(spark, seed):
     assert got == _naive_aggregate(triples, rnd), sorted(triples)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_aggregate_projection_exprs_match_naive(spark, seed):
+    """Projection expressions over aggregates (Extend after
+    Aggregation) vs the same fold computed by hand: a ratio of two
+    aggregates, an aggregate+constant, and an expression over the
+    group key — per ?s group over the DISTINCT solution set."""
+    rnd = random.Random(9500 + seed)
+    subs = [EX + f"s{i}" for i in range(4)]
+    objs = ["1", "2", "2.5", "w", "z", "10"]
+    triples = {
+        (rnd.choice(subs), EX + rnd.choice("pq"), rnd.choice(objs))
+        for _ in range(rnd.randint(4, 18))
+    }
+    rows = [(s, p, o, False, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r["s"]: (r["ratio"], r["n2"], r["tag"])
+        for r in run_sparql(
+            g,
+            f"""SELECT ?s (SUM(?o)/COUNT(?o) AS ?ratio)
+                       (COUNT(DISTINCT ?o)+1 AS ?n2)
+                       (CONCAT(STR(?s), "#g") AS ?tag)
+                WHERE {{ ?s <{EX}p> ?o . ?s <{EX}q> ?w }}
+                GROUP BY ?s""",
+        ).collect()
+    }
+    sols = {
+        (s1, o1, o2)
+        for s1, p1, o1 in triples if p1 == EX + "p"
+        for s2, p2, o2 in triples if p2 == EX + "q" and s2 == s1
+    }
+    groups: dict = {}
+    for s, o, w in sols:
+        groups.setdefault(s, []).append(o)
+    want = {}
+    for s, os_ in groups.items():
+        nums = []
+        for o in os_:
+            try:
+                nums.append(float(o))
+            except ValueError:
+                pass
+        want[s] = (
+            (sum(nums) / len(os_)) if nums else None,
+            float(len(set(os_)) + 1),
+            s + "#g",
+        )
+    assert got == want, sorted(triples)
+
+
 # ---------------------------------------------------------------
 # 8. path sugar (sequence / inverse / alternation) vs naive chains
 # ---------------------------------------------------------------

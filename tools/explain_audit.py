@@ -465,6 +465,40 @@ def main():
 
     checks.append(
         (
+            "sparql_aggregate_projection_expr",
+            run_sparql(
+                tstore,
+                """SELECT ?p (COUNT(*) AS ?n)
+                       (COUNT(*)/COUNT(DISTINCT ?s) AS ?fanout)
+                   WHERE { ?s ?p ?o } GROUP BY ?p
+                   HAVING (COUNT(*) >= 10)""",
+            ),
+            [
+                # the hidden aggregates ride the SAME groupBy; the
+                # ratio is a per-group scalar projection, so the
+                # shuffle count equals the plain aggregate query's
+                # (solutions-DISTINCT + Spark's two-phase
+                # distinct-aggregate rewrite = 3 exchanges, same as
+                # sparql_group_by_aggregates without the expression)
+                ("map-side partial aggregation",
+                 lambda p: p.count("HashAggregate") >= 2),
+                ("expression adds no shuffle",
+                 lambda p: p.count(") Exchange") == plan_of(run_sparql(
+                     tstore,
+                     """SELECT ?p (COUNT(*) AS ?n)
+                            (COUNT(DISTINCT ?s) AS ?d)
+                        WHERE { ?s ?p ?o } GROUP BY ?p
+                        HAVING (COUNT(*) >= 10)""",
+                 )).count(") Exchange")),
+                ("no single-partition window", lambda p: "Window" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
+    checks.append(
+        (
             "sparql_topk_subquery",
             run_sparql(
                 tstore,
