@@ -130,7 +130,23 @@ def _alts_pairs(triples: DataFrame, alts, max_path_hops: int) -> DataFrame:
                     "variable predicates inside a quantified "
                     "parenthesized path are not supported"
                 )
-            if isinstance(p, tuple) and p and p[0] == "nps":
+            if isinstance(p, tuple) and p and p[0] == "path":
+                # a nested quantified element (e.g. a quantified NPS
+                # inside a composed body): its own bounded closure
+                # becomes this step's edge relation
+                _, balts, lo, hi = p
+                if lo == 0:
+                    raise ValueError(
+                        "zero-lower-bound element quantifier inside "
+                        "a quantified parenthesized path is not "
+                        "supported"
+                    )
+                step = closure_pairs(
+                    _alts_pairs(triples, balts, max_path_hops),
+                    lo,
+                    max_path_hops if hi is None else hi,
+                )
+            elif isinstance(p, tuple) and p and p[0] == "nps":
                 step = _nps_scan(triples, p[1], p[2]).select(
                     F.col("subj").alias("src"), F.col("obj").alias("dst")
                 )

@@ -50,7 +50,9 @@ query text runs against the Spark triples table:
   branches; SPARQL precedence — sequence binds tighter), quantified
   parenthesized paths (a/b)+ (a|b)* (bounded closure over the
   composed edge relation), negated property sets !a / !(a|^b)
-  (Not-In-pushed scan + endpoint-swapped inverse part) ·
+  (Not-In-pushed scan + endpoint-swapped inverse part), quantified
+  NPS !(a|^b)+ / !a* / !a{m,n} (bounded closure over the complement
+  edge relation; composes as an element of quantified bodies) ·
   MINUS / FILTER NOT EXISTS / FILTER EXISTS
   (LEFT ANTI / LEFT SEMI joins on shared variables; with disjoint
   domains each form gets its exact divergent spec semantics — MINUS
@@ -421,8 +423,10 @@ def _parse_path_elt(toks, i, prefixes) -> tuple[tuple[bool, str], int]:
     modifiers (plain SPARQL).  ``!iri`` / ``!(a|^b)`` negated
     property sets (spec §9.1) parse to a ("nps", fwd, invs)
     predicate marker — compiled as a Not-In-pushed scan (plus an
-    endpoint-swapped part for inverse members); quantifying an NPS
-    is refused (its complement-closure would walk the whole store)."""
+    endpoint-swapped part for inverse members); a quantified NPS
+    ``!(a|b)+`` becomes a ("path", ...) marker — the bounded closure
+    of the complement edge relation, same pipeline as a quantified
+    parenthesized path."""
     inv = False
     if toks[i] == "^":
         inv, i = True, i + 1
@@ -454,9 +458,35 @@ def _parse_path_elt(toks, i, prefixes) -> tuple[tuple[bool, str], int]:
                 )
             i += 1
         if i < len(toks) and toks[i] in ("*", "+", "{"):
-            raise SparqlSyntaxError(
-                "quantified negated property sets are not supported"
-            )
+            # quantified NPS !(a|^b)+ / !a* / !a{m,n}: compiled
+            # exactly like a quantified parenthesized path whose
+            # body is the single NPS step — a bounded Kleene closure
+            # (graphquery.closure_pairs) over the complement edge
+            # relation (the _nps_scan).  The ("path", ...) marker
+            # reuses the whole pathgroup pipeline; a zero lower
+            # bound gets the same zero-hop identity handling as
+            # (a|b)* (ground endpoint preferred — the var-var
+            # identity needs the store's node set).
+            if toks[i] == "*":
+                lo, hi = 0, None
+                i += 1
+            elif toks[i] == "+":
+                lo, hi = 1, None
+                i += 1
+            else:
+                j = toks.index("}", i)
+                spec = "".join(toks[i + 1 : j])
+                m = re.fullmatch(r"(\d*)(,)?(\d*)", spec)
+                if not m or not spec:
+                    raise SparqlSyntaxError(f"bad path quantifier {{{spec}}}")
+                lo_s, comma, hi_s = m.groups()
+                lo = int(lo_s) if lo_s else 0
+                hi = int(hi_s) if hi_s else (None if comma else lo)
+                if hi is not None and (hi < 1 or hi < lo):
+                    raise SparqlSyntaxError(f"bad path quantifier {{{spec}}}")
+                i = j + 1
+            body = [[(False, ("nps", tuple(fwd), tuple(invs)))]]
+            return (inv, ("path", body, lo, hi)), i
         return (inv, ("nps", tuple(fwd), tuple(invs))), i
     p = _resolve(toks[i], prefixes)
     i += 1

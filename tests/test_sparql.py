@@ -1165,14 +1165,56 @@ def test_negated_property_sets(g):
     ).collect()
     assert [r["o"] for r in got] == ["Beta"]
     for bad in [
-        "SELECT ?o WHERE { <d1> !<type>* ?o }",
-        "SELECT ?o WHERE { <d1> !<type>{1,2} ?o }",
         "SELECT ?o WHERE { <d1> !(?p) ?o }",
         "SELECT ?o WHERE { <d1> !(<a>|<b> ?o }",
         "CONSTRUCT { ?s !<type> ?o } WHERE { ?s <title> ?o }",
+        "SELECT ?o WHERE { <d1> !<type>{2,1} ?o }",
     ]:
         with pytest.raises(SparqlSyntaxError):
             run_sparql(g, bad)
+
+
+def test_quantified_negated_property_sets(spark):
+    """!(a|b)+ / !a* / !a{m,n} (spec §9.1 + §9.3 PathMod): a bounded
+    Kleene closure over the complement edge relation — the same
+    ("path", body, lo, hi) pipeline as quantified parenthesized
+    paths, with the NPS scan as the single body step."""
+    T = [("a", "x", "b"), ("b", "y", "c"), ("c", "knows", "d"),
+         ("a", "knows", "e"), ("d", "x", "f")]
+    g2 = spark.createDataFrame(
+        [(s, p, o, True, None, None) for s, p, o in T], SCHEMA
+    )
+    got = run_sparql(
+        g2, "SELECT ?a ?b WHERE { ?a !<knows>+ ?b }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "f")]
+    # exact hop count
+    got = run_sparql(
+        g2, "SELECT ?a ?b WHERE { ?a !<knows>{2,2} ?b }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [("a", "c")]
+    # zero-or-more with a ground endpoint includes the identity
+    got = run_sparql(g2, "SELECT ?b WHERE { <a> !<knows>* ?b }").collect()
+    assert sorted(r["b"] for r in got) == ["a", "b", "c"]
+    # inverse of the whole quantified NPS
+    got = run_sparql(
+        g2, "SELECT ?a ?b WHERE { ?a ^!<knows>+ ?b }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("b", "a"), ("c", "a"), ("c", "b"), ("f", "d")]
+    # nested: a quantified NPS as an element of a quantified body
+    got = run_sparql(
+        g2, "SELECT ?a ?b WHERE { ?a (!(<knows>|<y>)+/<y>)+ ?b }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [("a", "c")]
+    # multi-member set with an inverse member, quantified
+    got = run_sparql(
+        g2, "SELECT ?a ?b WHERE { ?a !(<x>|^<y>){1,1} ?b }"
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("a", "e"), ("b", "a"), ("b", "c"), ("c", "d"),
+        ("d", "c"), ("e", "a"), ("f", "d")]
 
 
 def test_path_syntax_errors(g):

@@ -954,6 +954,60 @@ def test_negated_property_set_matches_naive(spark, seed):
     assert got == want, (sorted(triples), fwd, invs)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_quantified_nps_matches_naive(spark, seed):
+    """!(members)+ and !(members){m,n} vs a naive bounded closure of
+    the complement relation (spec §9.1 translation, then §9.3
+    ZeroOrMorePath bounded to the engine's 3 hops)."""
+    rnd = random.Random(10100 + seed)
+    nodes = [EX + f"n{i}" for i in range(4)]
+    preds = [EX + f"p{i}" for i in range(3)]
+    triples = {
+        (rnd.choice(nodes), rnd.choice(preds), rnd.choice(nodes))
+        for _ in range(rnd.randint(3, 12))
+    }
+    rows = [(s, p, o, True, None, None) for s, p, o in triples]
+    g = spark.createDataFrame(rows, SCHEMA)
+    fwd = rnd.sample(preds, rnd.randint(0, 2))
+    invs = rnd.sample(preds, rnd.randint(0 if fwd else 1, 2))
+
+    edges = set()
+    if fwd:
+        edges |= {(s, o) for s, p, o in triples if p not in fwd}
+    if invs:
+        edges |= {(o, s) for s, p, o in triples if p not in invs}
+
+    def hops(n):
+        cur, k = set(edges), 1
+        while k < n:
+            cur = {(a, d) for a, b in cur for c, d in edges if b == c}
+            k += 1
+        return cur
+
+    lo, hi = sorted(rnd.sample([1, 2, 3], 2))
+    want_plus = hops(1) | hops(2) | hops(3)
+    want_rng = set()
+    for k in range(lo, hi + 1):
+        want_rng |= hops(k)
+
+    members = [f"<{p}>" for p in fwd] + [f"^<{p}>" for p in invs]
+    nps = f"!({'|'.join(members)})"
+    got_plus = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x {nps}+ ?y }}"
+        ).collect()
+    }
+    assert got_plus == want_plus, (sorted(triples), fwd, invs)
+    got_rng = {
+        (r["x"], r["y"])
+        for r in run_sparql(
+            g, f"SELECT ?x ?y WHERE {{ ?x {nps}{{{lo},{hi}}} ?y }}"
+        ).collect()
+    }
+    assert got_rng == want_rng, (sorted(triples), fwd, invs, lo, hi)
+
+
 # ---------------------------------------------------------------
 # 8c. VALUES over a maybe-unbound variable vs naive compat-merge
 # ---------------------------------------------------------------

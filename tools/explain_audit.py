@@ -572,6 +572,32 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "sparql_quantified_nps",
+            run_sparql(
+                tstore,
+                """PREFIX dcterms: <http://purl.org/dc/terms/>
+                PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+                SELECT ?o WHERE {
+                  <https://kg.example.org/res/rfc/1>
+                    !(rdf:type|dcterms:title|dcterms:identifier){1,2} ?o
+                }""",
+            ),
+            [
+                # the complement scan is pushed; the closure is
+                # frontier equi-joins over it, never cartesian
+                ("Not(In(pred)) pushed to scan", lambda p: "PushedFilters" in p
+                 and "Not(In(pred" in p.split("PushedFilters")[1][:300]),
+                ("closure is equi-joins", lambda p: "Cartesian" not in p
+                 and "NestedLoop" not in p),
+                ("no single-partition window", lambda p: "Window" not in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
