@@ -26,3 +26,14 @@ def run_sparql(triples, text, params=None, max_path_hops=3):
     from ferenda_spark.operators.sparql import run_sparql as _run
 
     return _run(triples, text, params=params, max_path_hops=max_path_hops)
+
+
+def run_update(triples, text, params=None, max_path_hops=3):
+    """Top-level convenience re-export: execute a SPARQL Update
+    request against a triples DataFrame and return the NEW triples
+    DataFrame (functional copy-on-write — the replacement for
+    ferenda's TripleStore.update()/clear(); see operators/update.py
+    for the supported subset and the scale notes)."""
+    from ferenda_spark.operators.update import run_update as _run
+
+    return _run(triples, text, params=params, max_path_hops=max_path_hops)

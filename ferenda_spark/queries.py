@@ -1875,6 +1875,57 @@ FROM t GROUP BY pred HAVING COUNT(*) >= 10
 """
 
 
+def q_kg_sparql_update(spark, sf_dir):
+    """SPARQL Update end-to-end (reference TripleStore.update,
+    triplestore.py:164-183, functionally): rename a predicate
+    (DELETE+INSERT WHERE — one anti-join + one union over the same
+    solution set), drop a predicate wholesale (DELETE WHERE), add a
+    marker triple (INSERT DATA), then report per-predicate counts of
+    the resulting store.  The store is never collected: deletes are
+    broadcast anti-joins, the insert union dedups once."""
+    from ferenda_spark.operators.update import run_update
+
+    new = run_update(
+        _kg(spark, sf_dir).triples,
+        """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        DELETE { ?s dcterms:references ?o }
+        INSERT { ?s <urn:graft:cites> ?o }
+        WHERE { ?s dcterms:references ?o } ;
+        DELETE WHERE { ?s dcterms:identifier ?v } ;
+        INSERT DATA { <urn:graft:store> <urn:graft:updated> "true" }
+        """,
+    )
+    return (
+        new.select("subj", "pred", "obj")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("pred").alias("p"), "n")
+    )
+
+
+#: twin: the same three operations as set algebra over the exported
+#: triples (term identity on (subj,pred,obj) — the rename target and
+#: marker triple are fresh URIs, so 3-col identity is exact here)
+ORACLE_KG_SPARQL_UPDATE_TMPL = """
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {t}),
+updated AS (
+  SELECT subj,
+         CASE WHEN pred = 'http://purl.org/dc/terms/references'
+              THEN 'urn:graft:cites' ELSE pred END AS pred,
+         obj
+  FROM t
+  WHERE pred <> 'http://purl.org/dc/terms/identifier'
+  UNION
+  SELECT 'urn:graft:store', 'urn:graft:updated', 'true'
+)
+SELECT pred AS p, COUNT(*) AS n
+FROM (SELECT DISTINCT subj, pred, obj FROM updated)
+GROUP BY pred
+"""
+
+
 def q_kg_sparql_pathgroup(spark, sf_dir):
     """SPARQL quantified parenthesized path end-to-end (spec §9.1
     PathMod over a grouped path): doc-level citation reachability —
@@ -2729,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_topk": q_kg_sparql_topk,
         "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_pathgroup": q_kg_sparql_pathgroup,
         "kg_sparql_nps": q_kg_sparql_nps,
         "kg_sparql_mint": q_kg_sparql_mint,
@@ -2806,6 +2858,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg": ORACLE_KG_SPARQL_AGG_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_topk": ORACLE_KG_SPARQL_TOPK_TMPL.format(t=_kg_t("triples")),
         "kg_sparql_aggexpr": ORACLE_KG_SPARQL_AGGEXPR_TMPL.format(
+            t=_kg_t("triples")
+        ),
+        "kg_sparql_update": ORACLE_KG_SPARQL_UPDATE_TMPL.format(
             t=_kg_t("triples")
         ),
         "kg_sparql_pathgroup": _oracle_kg_sparql_pathgroup(),

@@ -598,6 +598,35 @@ def main():
         )
     )
 
+    from ferenda_spark.operators.update import run_update
+
+    checks.append(
+        (
+            "sparql_update",
+            run_update(
+                tstore,
+                """PREFIX dcterms: <http://purl.org/dc/terms/>
+                DELETE { ?s dcterms:references ?o }
+                INSERT { ?s <urn:graft:cites> ?o }
+                WHERE { ?s dcterms:references ?o } ;
+                DELETE DATA { <urn:x> <urn:y> "z" }""",
+            ),
+            [
+                # deletes are LEFT ANTI joins (small delete set
+                # broadcasts under AQE; the store is never collected)
+                ("delete is an anti-join", lambda p: "LeftAnti" in p),
+                # the insert union dedups once — a partial-agg
+                # HashAggregate, the one copy-on-write shuffle
+                ("insert dedup partial-aggregated",
+                 lambda p: "HashAggregate" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("no cartesian anywhere", lambda p: "Cartesian" not in p
+                 and "NestedLoop" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
