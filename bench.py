@@ -73,6 +73,7 @@ HEADLINE = [
     "kg_sparql_topk",
     "kg_sparql_pathgroup",
     "kg_sparql_nps",
+    "kg_sparql_builtins",
     "kg_sparql_mint",
 ]
 

@@ -36,7 +36,17 @@ query text runs against the Spark triples table:
   ENCODE_FOR_URI (RFC 3986 per-code-point percent-encoding) special
   forms, binary + - * / and unary minus over TRY_CAST doubles
   (division is try_divide — a type error or /0 drops the row, never
-  an ANSI task failure)
+  an ANSI task failure), ?x NOT IN (...), sameTerm(a, b) (full
+  four-component term identity: value/kind/lang/datatype),
+  isNumeric() (TRY_CAST relational reading) and isBlank() (constant
+  false — every node is a minted IRI, blank nodes are skolemized by
+  construction; both NULL-propagate for unbound), the hash family
+  MD5/SHA1/SHA256/SHA384/SHA512 (§17.4.4, lowercase hex over UTF-8
+  bytes), and the xsd:dateTime accessors YEAR/MONTH/DAY/HOURS/
+  MINUTES/SECONDS/TZ (§17.4.5; literal-clock exact — the offset is
+  stripped before the cast, TZ reads it off the lexical form,
+  SECONDS keeps the fraction; engine extension: gYear/gYearMonth
+  lexical forms are padded so the corpus' dcterms:issued works)
   · VALUES ?v { ... } (an
   isin() filter, pushed into the pattern scans; over a
   maybe-unbound variable, the exact compatible-merge broadcast join
@@ -651,6 +661,46 @@ def _strip_iri_wrapper(expr: list) -> tuple[list, bool]:
 
 _FILTER_OPS = {"&&": "AND", "||": "OR", "!": "NOT", "=": "="}
 
+
+def _balanced(toks: list[str], i: int) -> tuple[list[str], int]:
+    """toks[i] must be '('; return (inner tokens, index past the
+    matching ')')."""
+    if i >= len(toks) or toks[i] != "(":
+        raise SparqlSyntaxError("expected '('")
+    d, j = 1, i + 1
+    while j < len(toks) and d:
+        if toks[j] == "(":
+            d += 1
+        elif toks[j] == ")":
+            d -= 1
+        j += 1
+    if d:
+        raise SparqlSyntaxError("unbalanced parens")
+    return toks[i + 1 : j - 1], j
+
+
+def _term_meta(tok: str, prefixes: dict) -> tuple[str, str, str, str]:
+    """One term token (?var / IRI / plain literal) -> SQL for
+    (value, is-uri, language tag, datatype) — the engine's four
+    term-identity components, used by sameTerm.  Variable metadata
+    columns default like the filter compiler: a var bound only in
+    subject/predicate position is an IRI by RDF construction."""
+    if tok.startswith("?"):
+        v = tok[1:]
+        return (
+            v,
+            f"coalesce(_isuri_{v}, false)",
+            f"coalesce(_lang_{v}, '')",
+            f"coalesce(_dt_{v}, '')",
+        )
+    if tok.startswith('"'):
+        val = _resolve(tok, prefixes).replace("'", "''")
+        return (f"'{val}'", "false", "''", "''")
+    if tok.startswith("<") or ":" in tok:
+        val = _resolve(tok, prefixes).replace("'", "''")
+        return (f"'{val}'", "true", "''", "''")
+    raise SparqlSyntaxError(f"sameTerm operand {tok!r} is not a term")
+
 #: SPARQL function -> Spark SQL function, 1:1 argument order.
 #: SUBSTR is 1-based in both; REPLACE is regex-based in both.
 _SQL_FUNCS = {
@@ -666,6 +716,11 @@ _SQL_FUNCS = {
     "ROUND": "round",
     "CEIL": "ceil",
     "FLOOR": "floor",
+    # hash functions (spec §17.4.4): SPARQL and Spark both hash the
+    # UTF-8 bytes and emit lowercase hex.  SHA256/384/512 are special
+    # forms below (Spark spells them sha2(expr, bits)).
+    "MD5": "md5",
+    "SHA1": "sha1",
     # ENCODE_FOR_URI is a special form below (Spark url_encode is
     # form-encoding, space becomes '+' not %20 — the exact RFC 3986
     # encoding is built per code point instead).
@@ -926,6 +981,129 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                 )
             i += 6
             continue
+        elif u == "SAMETERM":
+            # sameTerm(a, b) (spec §17.4.1.8): value AND term
+            # metadata (kind / language tag / datatype) must all
+            # agree — plain string equality alone would call "x"@en
+            # and "x"^^xsd:token the same term.  Operands are single
+            # terms (?var, IRI, or plain literal).  An unbound
+            # operand is a SPARQL type error: plain `=` propagates
+            # its NULL and the solution drops, the engine's
+            # relational reading of error-drops-solution.
+            if not (
+                i + 5 < n
+                and toks[i + 1] == "("
+                and toks[i + 3] == ","
+                and toks[i + 5] == ")"
+            ):
+                raise SparqlSyntaxError("sameTerm needs (term, term)")
+            av, au, al, ad = _term_meta(toks[i + 2], prefixes)
+            bv, bu, bl, bd = _term_meta(toks[i + 4], prefixes)
+            out.append(
+                f"({av} = {bv} AND {au} = {bu} AND {al} = {bl} "
+                f"AND {ad} = {bd})"
+            )
+            i += 6
+            continue
+        elif u == "ISNUMERIC":
+            # isNumeric(?x) (spec §17.4.2.4): true for numeric
+            # literals.  The store keeps lexical forms, so the
+            # engine's reading is "literal whose lexical form parses
+            # as a number" (TRY_CAST, the same relational reading as
+            # _numeric_casts).  NULL-propagating: unbound is a type
+            # error, and under NOT the row must still drop.
+            if not (
+                i + 3 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ")"
+            ):
+                raise SparqlSyntaxError("isNumeric() takes one variable")
+            v = toks[i + 2][1:]
+            out.append(
+                f"(CASE WHEN {v} IS NULL THEN NULL ELSE "
+                f"NOT coalesce(_isuri_{v}, false) "
+                f"AND TRY_CAST({v} AS DOUBLE) IS NOT NULL END)"
+            )
+            i += 4
+            continue
+        elif u == "ISBLANK":
+            # isBlank(?x): constant false for bound terms — the
+            # engine's stores hold COIN-minted absolute IRIs and
+            # literals only (every node the pipeline emits gets a
+            # minted URI; blank nodes are skolemized by
+            # construction), so no term is ever a blank node.
+            # NULL-propagating for unbound, as above.
+            if not (
+                i + 3 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ")"
+            ):
+                raise SparqlSyntaxError("isBlank() takes one variable")
+            v = toks[i + 2][1:]
+            out.append(f"(CASE WHEN {v} IS NULL THEN NULL ELSE false END)")
+            i += 4
+            continue
+        elif u in ("SHA256", "SHA384", "SHA512"):
+            # SPARQL's SHA-2 family -> Spark sha2(expr, bits); the
+            # bit width is the function name's suffix.  The argument
+            # may be any expression — compiled recursively.
+            inner, j = _balanced(toks, i + 1)
+            arg = _filter_sql(inner, prefixes)
+            out.append(f"sha2({arg}, {u[3:]})")
+            i = j
+            continue
+        elif u in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"):
+            # xsd:dateTime component accessors (spec §17.4.5) over
+            # the store's lexical forms.  Exact literal-clock
+            # semantics: the timezone suffix is stripped BEFORE the
+            # timestamp cast (Spark would otherwise normalize an
+            # offset-carrying literal to session time, changing
+            # HOURS/DAY); TZ reads the suffix straight off the
+            # lexical form.  Engine extension beyond the spec's
+            # dateTime-only domain: xsd:gYear / xsd:gYearMonth
+            # lexical forms ('2013', '2013-05' — the corpus'
+            # dcterms:issued shape) are padded to a full date first,
+            # so YEAR/MONTH work over real document metadata.  A
+            # non-parseable lexical form is a type error: TRY_CAST
+            # yields NULL and the solution drops.
+            if not (
+                i + 3 < n
+                and toks[i + 1] == "("
+                and toks[i + 2].startswith("?")
+                and toks[i + 3] == ")"
+            ):
+                raise SparqlSyntaxError(f"{t}() takes one variable")
+            v = toks[i + 2][1:]
+            zone = r"(Z|[+-]\\d{2}:\\d{2})$"
+            if u == "TZ":
+                out.append(f"regexp_extract({v}, '{zone}', 1)")
+            else:
+                bare = f"regexp_replace({v}, '{zone}', '')"
+                lex = (
+                    f"CASE WHEN {bare} RLIKE '^\\\\d{{4}}$' "
+                    f"THEN concat({bare}, '-01-01') "
+                    f"WHEN {bare} RLIKE '^\\\\d{{4}}-\\\\d{{2}}$' "
+                    f"THEN concat({bare}, '-01') ELSE {bare} END"
+                )
+                ts = f"TRY_CAST({lex} AS TIMESTAMP)"
+                part = {
+                    "YEAR": "year",
+                    "MONTH": "month",
+                    "DAY": "day",
+                    "HOURS": "hour",
+                    "MINUTES": "minute",
+                }.get(u)
+                if part:
+                    out.append(f"{part}({ts})")
+                else:
+                    # SECONDS is xsd:decimal incl. the fraction
+                    out.append(
+                        f"CAST(date_part('SECOND', {ts}) AS DOUBLE)"
+                    )
+            i += 4
+            continue
         elif u in _SQL_FUNCS:
             # direct SPARQL->Spark SQL function mapping; arity and
             # argument types are checked by the Spark analyzer at
@@ -934,6 +1112,9 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             out.append(_SQL_FUNCS[u])
         elif u == "IN":
             out.append("IN")
+        elif u == "NOT":
+            # `?x NOT IN (...)` (spec §17.4.1.10) and boolean NOT
+            out.append("NOT")
         elif t in ("+", "-", "*", "/"):
             # binary numeric arithmetic; operand vars are TRY_CAST to
             # DOUBLE by _numeric_casts (type-error row drops, and
@@ -1800,6 +1981,18 @@ def _compile_group(
             if r not in df.columns:
                 raise SparqlSyntaxError(
                     f"BIND expression references unbound variable ?{r}"
+                )
+        # term-metadata functions (isNumeric/sameTerm/...) inside a
+        # BIND expression: same backfill rule as the filters loop —
+        # a var bound only in subject/predicate position is an IRI
+        # by RDF construction
+        for kind, mv in re.findall(r"_(isuri|lang|dt)_(\w+)", sql):
+            mcol = f"_{kind}_{mv}"
+            if mcol not in df.columns:
+                df = df.withColumn(
+                    mcol,
+                    F.lit(True) if kind == "isuri"
+                    else F.lit(None).cast("string"),
                 )
         df = df.withColumn(dst, F.expr(sql).cast("string"))
         df = df.withColumn(f"_isuri_{dst}", F.lit(bool(is_uri)))

@@ -2049,6 +2049,54 @@ SELECT DISTINCT s, o FROM (
 """
 
 
+def q_kg_sparql_builtins(spark, sf_dir):
+    """SPARQL scalar-builtin surface end-to-end (spec §17.4): the
+    dateTime accessors (YEAR/MONTH over the corpus' gYearMonth
+    dcterms:issued — the engine's documented padding extension), a
+    hash function (MD5 of the title, §17.4.4), and an isNumeric
+    guard, all compiled to pure Catalyst expressions over one
+    two-pattern join — zero Python, zero extra shuffles beyond the
+    pattern join itself."""
+    from ferenda_spark.config import DCT
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        f"""
+        PREFIX dcterms: <{DCT}>
+        SELECT ?d ?y ?m ?h WHERE {{
+          ?d dcterms:issued ?iss .
+          ?d dcterms:title ?t .
+          BIND(YEAR(?iss) AS ?y)
+          BIND(MONTH(?iss) AS ?m)
+          BIND(MD5(?t) AS ?h)
+          FILTER(isNumeric(?y) && ?y >= 2010)
+        }}
+        """,
+    )
+
+
+def _oracle_kg_sparql_builtins() -> str:
+    """Twin: the issued literal is 'yyyy-MM' by construction
+    (fsm.issued_to_gym), so YEAR/MONTH restate as substr+CAST; both
+    engines print md5 as lowercase hex; the int->string casts mirror
+    the engine's plain-literal BIND output ('5', not '05')."""
+    from ferenda_spark.config import DCT
+
+    t = _kg_t("triples")
+    return f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {t}),
+iss AS (SELECT subj, obj FROM t WHERE pred = '{DCT}issued'),
+ti  AS (SELECT subj, obj FROM t WHERE pred = '{DCT}title')
+SELECT iss.subj AS d,
+       CAST(CAST(substr(iss.obj, 1, 4) AS INT) AS VARCHAR) AS y,
+       CAST(CAST(substr(iss.obj, 6, 2) AS INT) AS VARCHAR) AS m,
+       md5(ti.obj) AS h
+FROM iss JOIN ti ON ti.subj = iss.subj
+WHERE CAST(substr(iss.obj, 1, 4) AS INT) >= 2010
+"""
+
+
 def q_kg_sparql_mint(spark, sf_dir):
     """SPARQL-side URI minting end-to-end (the relational reading of
     COIN slug templates, C8): CONSTRUCT new resource-valued triples
@@ -2783,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_pathgroup": q_kg_sparql_pathgroup,
         "kg_sparql_nps": q_kg_sparql_nps,
+        "kg_sparql_builtins": q_kg_sparql_builtins,
         "kg_sparql_mint": q_kg_sparql_mint,
         "kg_edges": q_kg_edges,
         "kg_canon": q_kg_canon,
@@ -2865,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_sparql_pathgroup": _oracle_kg_sparql_pathgroup(),
         "kg_sparql_nps": _oracle_kg_sparql_nps(),
+        "kg_sparql_builtins": _oracle_kg_sparql_builtins(),
         "kg_sparql_mint": _oracle_kg_sparql_mint(),
         "kg_skeleton": _oracle_kg_skeleton(),
         "kg_edges": _oracle_kg_edges(),

@@ -1556,3 +1556,145 @@ def test_division_and_unary_minus_ansi_safe(spark):
     assert [r["s"] for r in got] == ["b"]
     with pytest.raises(SparqlSyntaxError):
         run_sparql(t, "SELECT ?s WHERE { ?s <p> ?v . FILTER(?v / 2 / 2 > 0) }")
+
+
+def test_hash_functions(g):
+    """MD5/SHA1/SHA256/SHA384/SHA512 (spec §17.4.4): both engines
+    hash the UTF-8 bytes and print lowercase hex; checked against
+    hashlib digests of the fixture title."""
+    import hashlib
+
+    got = run_sparql(
+        g,
+        """SELECT ?h5 ?h1 ?h2 ?h3 ?h4 WHERE { <d1> <title> ?t .
+           BIND(MD5(?t) AS ?h5) BIND(SHA1(?t) AS ?h1)
+           BIND(SHA256(?t) AS ?h2) BIND(SHA384(?t) AS ?h3)
+           BIND(SHA512(?t) AS ?h4) }""",
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["h5"] == hashlib.md5(b"Alpha").hexdigest()
+    assert r["h1"] == hashlib.sha1(b"Alpha").hexdigest()
+    assert r["h2"] == hashlib.sha256(b"Alpha").hexdigest()
+    assert r["h3"] == hashlib.sha384(b"Alpha").hexdigest()
+    assert r["h4"] == hashlib.sha512(b"Alpha").hexdigest()
+
+
+def test_sameterm_filter(g):
+    """sameTerm (spec §17.4.1.8) compares the full term identity —
+    value AND kind AND language tag AND datatype — where plain `=`
+    compares only the lexical value.  The fixture's two 'Intro'/
+    'Alpha' titles differ: d1's title is "Alpha"@en; a literal with
+    the same value but another tag is NOT the same term."""
+    tagged = g.sparkSession.createDataFrame(
+        [
+            ("x1", "label", "Same", False, "en", None),
+            ("x2", "label", "Same", False, "sv", None),
+            ("x3", "label", "Same", False, "en", None),
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    got = run_sparql(
+        tagged,
+        """SELECT ?a ?b WHERE { ?a <label> ?la . ?b <label> ?lb .
+           FILTER(sameTerm(?la, ?lb) && ?a < ?b) }""",
+    ).collect()
+    # only the en/en pair survives; value-equality would give 3 pairs
+    assert sorted(map(tuple, got)) == [("x1", "x3")]
+    # var-vs-ground-IRI form; subject-position vars are IRIs
+    got = run_sparql(
+        g, "SELECT ?s WHERE { ?s <type> <Doc> . FILTER(sameTerm(?s, <d1>)) }"
+    ).collect()
+    assert [r["s"] for r in got] == ["d1"]
+    # an IRI and a literal with the same lexical value are different terms
+    got = run_sparql(
+        g,
+        """SELECT ?s WHERE { ?s <type> <Doc> . FILTER(sameTerm(?s, "d1")) }""",
+    ).collect()
+    assert got == []
+
+
+def test_isnumeric_isblank(g):
+    """isNumeric is the TRY_CAST relational reading (lexical form
+    parses as a number, term is a literal); isBlank is constant
+    false — the engine skolemizes every node to a minted IRI.  Both
+    propagate NULL for a maybe-unbound var so the row still drops
+    under NOT."""
+    t = g.sparkSession.createDataFrame(
+        [
+            ("a", "v", "42", False, None, None),
+            ("b", "v", "4.5", False, None, None),
+            ("c", "v", "x42", False, None, None),
+            ("d", "v", "42", True, None, None),  # IRI, not numeric
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    got = run_sparql(
+        t, "SELECT ?s WHERE { ?s <v> ?o . FILTER(isNumeric(?o)) }"
+    ).collect()
+    assert sorted(r["s"] for r in got) == ["a", "b"]
+    got = run_sparql(
+        t, "SELECT ?s WHERE { ?s <v> ?o . FILTER(!isNumeric(?o)) }"
+    ).collect()
+    assert sorted(r["s"] for r in got) == ["c", "d"]
+    assert run_sparql(
+        t, "SELECT ?s WHERE { ?s <v> ?o . FILTER(isBlank(?o)) }"
+    ).count() == 0
+    # unbound (OPTIONAL miss) is a type error: drops under BOTH signs
+    q = """SELECT ?s WHERE { ?s <v> ?o . OPTIONAL { ?s <w> ?m }
+           FILTER(%sisNumeric(?m)) }"""
+    assert run_sparql(t, q % "").count() == 0
+    assert run_sparql(t, q % "!").count() == 0
+
+
+def test_datetime_accessors(g):
+    """YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ (spec §17.4.5) with
+    exact literal-clock semantics: the offset is stripped before the
+    cast (never normalized to session time), TZ reads the suffix off
+    the lexical form, SECONDS keeps the fraction, and the engine
+    extension pads gYear/gYearMonth ('2004', '2004-01') so the
+    corpus' dcterms:issued shapes work."""
+    t = g.sparkSession.createDataFrame(
+        [
+            ("a", "at", "2011-01-10T14:45:13.815-05:00", False, None, None),
+            ("b", "at", "2004-01", False, None, None),
+            ("c", "at", "1999", False, None, None),
+            ("d", "at", "not a date", False, None, None),
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    got = run_sparql(
+        t,
+        """SELECT ?s ?y ?mo ?d ?h ?mi ?sec ?tz WHERE { ?s <at> ?x .
+           BIND(YEAR(?x) AS ?y) BIND(MONTH(?x) AS ?mo)
+           BIND(DAY(?x) AS ?d) BIND(HOURS(?x) AS ?h)
+           BIND(MINUTES(?x) AS ?mi) BIND(SECONDS(?x) AS ?sec)
+           BIND(TZ(?x) AS ?tz) }""",
+    ).collect()
+    rows = {r["s"]: r for r in got}
+    a = rows["a"]
+    assert (a["y"], a["mo"], a["d"], a["h"], a["mi"]) == (
+        "2011", "1", "10", "14", "45",
+    )
+    assert a["sec"] == "13.815" and a["tz"] == "-05:00"
+    assert (rows["b"]["y"], rows["b"]["mo"], rows["b"]["tz"]) == (
+        "2004", "1", "",
+    )
+    assert rows["c"]["y"] == "1999"
+    assert rows["d"]["y"] is None  # type error -> unbound
+    # a malformed lexical form drops when the accessor feeds a FILTER
+    assert run_sparql(
+        t, "SELECT ?s WHERE { ?s <at> ?x . FILTER(YEAR(?x) > 1990) }"
+    ).count() == 3
+
+
+def test_not_in(g):
+    """?x NOT IN (...) (spec §17.4.1.10)."""
+    got = run_sparql(
+        g,
+        "SELECT ?s WHERE { ?s <type> <Doc> . FILTER(?s NOT IN (<d1>, <dX>)) }",
+    ).collect()
+    assert [r["s"] for r in got] == ["d2"]

@@ -416,6 +416,33 @@ def main():
 
     checks.append(
         (
+            "sparql_builtins",
+            run_sparql(
+                tstore,
+                f"""PREFIX dcterms: <{DCT}>
+                SELECT ?d ?y ?h WHERE {{
+                  ?d dcterms:issued ?iss . ?d dcterms:title ?t .
+                  BIND(YEAR(?iss) AS ?y) BIND(MD5(?t) AS ?h)
+                  FILTER(isNumeric(?y) && ?y >= 2010)
+                }}""",
+            ),
+            [
+                # the scalar builtins (hash, dateTime accessors,
+                # isNumeric) are pure Catalyst expressions: no
+                # Python stage, and the only join is the two-pattern
+                # subject join itself
+                ("pred constants pushed to scan", lambda p: "PushedFilters" in p
+                 and "pred" in p.split("PushedFilters")[1][:200]),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("no cartesian anywhere", lambda p: "Cartesian" not in p
+                 and "NestedLoop" not in p),
+            ],
+        )
+    )
+
+    checks.append(
+        (
             "sparql_negation_values",
             run_sparql(
                 tstore,
