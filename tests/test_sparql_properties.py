@@ -1153,3 +1153,146 @@ def test_subquery_matches_naive(spark, seed):
         (a, b, n) for a, n in topk for a2, b in p_edges if a2 == a
     }
     assert got == want, (sorted(triples), k)
+
+
+# ---------------------------------------------------------------
+# scalar builtins (hashes, dateTime accessors, isNumeric, sameTerm)
+# vs an independent Python model of the documented semantics
+# ---------------------------------------------------------------
+
+_DT_POOL = [
+    "2011-01-10T14:45:13.815-05:00",
+    "2020-07-03T10:20:30Z",
+    "1987-11-30T23:59:59",
+    "2020-07-03",
+    "2004-01",  # gYearMonth (engine padding extension)
+    "1999",     # gYear
+    "not a date",
+    "2004-13",  # invalid month -> cast fails -> type error
+    "",
+]
+
+_NUM_POOL = ["42", "4.5", "-3", "1e3", "x42", "", "4.5.6", "Alpha"]
+
+
+def _naive_dt(lex: str, acc: str):
+    """Independent model of the accessor semantics: strip the offset
+    (literal clock), pad gYear/gYearMonth, parse ISO, else None."""
+    import re as _re
+    from datetime import datetime
+
+    m = _re.search(r"(Z|[+-]\d{2}:\d{2})$", lex)
+    tz = m.group(1) if m else ""
+    if acc == "TZ":
+        return tz if lex else None
+    bare = lex[: len(lex) - len(tz)] if tz else lex
+    if _re.fullmatch(r"\d{4}", bare):
+        bare += "-01-01"
+    elif _re.fullmatch(r"\d{4}-\d{2}", bare):
+        bare += "-01"
+    try:
+        ts = datetime.fromisoformat(bare)
+    except ValueError:
+        return None
+    if acc == "SECONDS":
+        return str(ts.second + ts.microsecond / 1e6)
+    return str(
+        {
+            "YEAR": ts.year,
+            "MONTH": ts.month,
+            "DAY": ts.day,
+            "HOURS": ts.hour,
+            "MINUTES": ts.minute,
+        }[acc]
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_builtins_match_naive_model(spark, seed):
+    import hashlib
+
+    rnd = random.Random(7000 + seed)
+    acc = rnd.choice(
+        ["YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ"]
+    )
+    hfn = rnd.choice(["MD5", "SHA1", "SHA256", "SHA512"])
+    hmod = {"MD5": "md5", "SHA1": "sha1", "SHA256": "sha256", "SHA512": "sha512"}
+    rows = [
+        (f"s{i}", "at", rnd.choice(_DT_POOL), False, None, None)
+        for i in range(rnd.randint(3, 9))
+    ]
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["s"], r["a"], r["h"])
+        for r in run_sparql(
+            g,
+            f"""SELECT ?s ?a ?h WHERE {{ ?s <at> ?x .
+                BIND({acc}(?x) AS ?a) BIND({hfn}(?x) AS ?h) }}""",
+        ).collect()
+    }
+    want = {
+        (s, _naive_dt(o, acc),
+         hashlib.new(hmod[hfn], o.encode()).hexdigest())
+        for s, _, o, _, _, _ in rows
+    }
+    assert got == want, (acc, hfn, rows)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_isnumeric_matches_naive_model(spark, seed):
+    rnd = random.Random(8000 + seed)
+    rows = [
+        (f"s{i}", "v", rnd.choice(_NUM_POOL), rnd.random() < 0.3, None, None)
+        for i in range(rnd.randint(3, 10))
+    ]
+
+    def naive_isnum(o, isuri):
+        if isuri:
+            return False
+        try:
+            float(o)
+            return True
+        except ValueError:
+            return False
+
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["s"], r["o"])
+        for r in run_sparql(
+            g, "SELECT ?s ?o WHERE { ?s <v> ?o . FILTER(isNumeric(?o)) }"
+        ).collect()
+    }
+    want = {(s, o) for s, _, o, u, _, _ in rows if naive_isnum(o, u)}
+    assert got == want, rows
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sameterm_matches_naive_model(spark, seed):
+    rnd = random.Random(9000 + seed)
+    vals = ["A", "B"]
+    langs = [None, "en", "sv"]
+    dts = [None, "xsd:token"]
+    rows = []
+    for i in range(rnd.randint(4, 10)):
+        lang = rnd.choice(langs)
+        rows.append(
+            (f"s{i}", "label", rnd.choice(vals), False, lang,
+             None if lang else rnd.choice(dts))
+        )
+    g = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["a"], r["b"])
+        for r in run_sparql(
+            g,
+            """SELECT ?a ?b WHERE { ?a <label> ?la . ?b <label> ?lb .
+               FILTER(sameTerm(?la, ?lb)) }""",
+        ).collect()
+    }
+    term = {s: (o, u, l or "", d or "") for s, _, o, u, l, d in rows}
+    want = {
+        (a, b)
+        for a in term
+        for b in term
+        if term[a] == term[b]
+    }
+    assert got == want, rows
