@@ -31,6 +31,7 @@ selective-scan + join-reorder, no Python anywhere.
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 from pyspark.sql import DataFrame
@@ -408,10 +409,12 @@ def _join_pattern(triples, df, pat, max_path_hops) -> DataFrame:
     return nxt if df is None else _join(df, nxt)
 
 
-def _fold_patterns(triples, patterns, max_path_hops, df=None) -> DataFrame:
+def _fold_patterns(
+    triples, patterns, max_path_hops, df=None, stats=None
+) -> DataFrame:
     """Selectivity-ordered fold of a pattern group onto `df` (or
     from scratch when df is None)."""
-    for pat in _order_patterns(patterns):
+    for pat in _order_patterns(patterns, stats):
         df = _join_pattern(triples, df, pat, max_path_hops)
     return df
 
@@ -431,16 +434,84 @@ def _vv_zero_path(t) -> bool:
     return bounds is not None and bounds[1] == 0
 
 
-def _order_patterns(patterns) -> list:
+#: Ambient predicate stats for compile scopes that recurse through
+#: many helpers (the SPARQL text compiler): set by run_sparql /
+#: use_stats around compilation, read by _order_patterns when no
+#: stats are passed explicitly.  Compile-time only — the returned
+#: DataFrames are lazy but their join ORDER is fixed here.
+_ACTIVE_STATS: contextvars.ContextVar = contextvars.ContextVar(
+    "ferenda_pred_stats", default=None
+)
+
+
+class use_stats:
+    """Context manager scoping predicate statistics over a compile
+    region: ``with use_stats(stats): run_sparql(...)``. Nest-safe."""
+
+    def __init__(self, stats: dict | None):
+        self.stats = stats
+        self._tok = None
+
+    def __enter__(self):
+        self._tok = _ACTIVE_STATS.set(self.stats)
+        return self
+
+    def __exit__(self, *exc):
+        _ACTIVE_STATS.reset(self._tok)
+        return False
+
+
+def pred_stats(triples: DataFrame) -> dict[str, int]:
+    """Predicate-frequency statistics for cost-based pattern
+    ordering: one partial-aggregating groupBy over the store.  The
+    predicate vocabulary of an RDF corpus is schema-sized (dozens to
+    a few thousand — ferenda's is ~20 predicates), so the collect is
+    metadata-sized at any corpus scale; compute ONCE per store and
+    reuse across queries (the catalog memoizes it with the KG).
+    This is the RDF-3X/Virtuoso statistics idea restated on Spark:
+    the optimizer cannot know that `rdf:type` is 100× hotter than
+    `dcterms:references` until a scan runs — a one-shot stats pass
+    tells the compile-time join order, AQE still re-plans the
+    physical side at runtime."""
+    return {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def _est_card(t, stats: dict) -> int:
+    """Estimated scan cardinality of one pattern under predicate
+    stats: the base predicate's triple count (path quantifiers
+    look up their base predicate; variable predicates, NPS
+    complements and composed path bodies estimate as the whole
+    store).  Used only as an ordering key — never as a hard plan
+    decision, so a stale estimate degrades order, not correctness."""
+    total = sum(stats.values()) or 1
+    _, p, _ = t
+    if isinstance(p, str) and not _is_var(p):
+        b = _path_bounds(p, 10)
+        base = b[0] if b is not None else p
+        return stats.get(base, total)
+    return total
+
+
+def _order_patterns(patterns, stats: dict | None = None) -> list:
     """Most-constants-first, then greedily connected — the classic
     selectivity heuristic, applied at compile time (AQE re-plans the
     physical side at runtime).  Var-var zero-or-more paths sort last
     so a binding pattern runs first and the zero-hop identity stays
-    algebraic (no node-set scan)."""
+    algebraic (no node-set scan).  With predicate stats (see
+    pred_stats) patterns of equal shape tie-break by estimated scan
+    cardinality, so the fold leads with the rarest predicate and
+    the greedy connected walk extends through the smallest
+    intermediate results first."""
+    if stats is None:
+        stats = _ACTIVE_STATS.get()
     rest = sorted(
         patterns,
         key=lambda t: (
             sum(_is_var(x) for x in t) + (4 if _vv_zero_path(t) else 0),
+            _est_card(t, stats) if stats else 0,
             list(map(str, t)),
         ),
     )
@@ -467,6 +538,7 @@ def bgp(
     select=None,
     distinct: bool = True,
     max_path_hops: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SELECT over a basic graph pattern.
 
@@ -475,10 +547,11 @@ def bgp(
     filters: Spark-SQL boolean expression strings over variable
       columns (``?x`` is column ``x``), e.g. ``"issued >= '2004'"``.
     select: variable names (without "?") to project; default all.
+    stats: optional pred_stats() dict for cost-based join order.
     """
-    out = _fold_patterns(triples, patterns, max_path_hops)
+    out = _fold_patterns(triples, patterns, max_path_hops, stats=stats)
     for group in optionals:
-        gdf = _fold_patterns(triples, group, max_path_hops)
+        gdf = _fold_patterns(triples, group, max_path_hops, stats=stats)
         out = _join(out, gdf, "left")
     for f in filters:
         out = out.filter(F.expr(f))
@@ -494,6 +567,7 @@ def construct(
     optionals=(),
     filters=(),
     max_path_hops: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """CONSTRUCT: match `where` (+ optionals/filters) and emit one
     triple per template entry per solution, in the engine's triples
@@ -505,9 +579,9 @@ def construct(
     For a variable object, pass obj_is_uri=None to reuse the matched
     term's own metadata (uri-ness, lang, datatype) captured by the
     WHERE clause."""
-    full = _fold_patterns(triples, list(where), max_path_hops)
+    full = _fold_patterns(triples, list(where), max_path_hops, stats=stats)
     for group in optionals:
-        gdf = _fold_patterns(triples, group, max_path_hops)
+        gdf = _fold_patterns(triples, group, max_path_hops, stats=stats)
         full = _join(full, gdf, "left")
     for f in filters:
         full = full.filter(F.expr(f))

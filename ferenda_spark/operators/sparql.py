@@ -2195,11 +2195,32 @@ def run_sparql(
     text: str,
     params: dict | None = None,
     max_path_hops: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Execute a SPARQL text (the supported subset) against the
     triples table.  SELECT returns one column per projected variable
     (set semantics); CONSTRUCT returns the engine triples schema,
-    ready for rdfio.to_ntriples or a triplestore sink."""
+    ready for rdfio.to_ntriples or a triplestore sink.
+
+    stats: optional graphquery.pred_stats() dict — predicate
+    frequencies used for cost-based BGP join ordering during this
+    compile (scoped via graphquery.use_stats so the whole recursive
+    group compile sees it)."""
+    from ferenda_spark.operators.graphquery import use_stats
+
+    if stats is None:
+        # keep any ambient use_stats() scope the caller established
+        return _run_sparql(triples, text, params, max_path_hops)
+    with use_stats(stats):
+        return _run_sparql(triples, text, params, max_path_hops)
+
+
+def _run_sparql(
+    triples: DataFrame,
+    text: str,
+    params: dict | None = None,
+    max_path_hops: int = 3,
+) -> DataFrame:
     q = parse_sparql(text, params)
     from pyspark.sql import functions as F
 

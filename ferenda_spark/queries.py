@@ -1599,6 +1599,33 @@ def _kg(spark, sf_dir, n_cap: int = _KG_N):
     return kg
 
 
+def _kg_stats(spark, sf_dir) -> dict:
+    """Predicate-frequency stats for cost-based SPARQL join ordering
+    (graphquery.pred_stats), computed ONCE per memoized KG build and
+    cached with it — the RDF predicate vocabulary is schema-sized
+    (~20 predicates here), so the stats collect is metadata-sized at
+    any corpus scale and amortizes across every kg_* catalog query."""
+    from ferenda_spark.operators.graphquery import pred_stats
+
+    key = (id(spark), _KG_N, "pred_stats")
+    if key not in _KG_CACHE:
+        _KG_CACHE[key] = pred_stats(_kg(spark, sf_dir).triples)
+    return _KG_CACHE[key]
+
+
+def _kg_sparql(spark, sf_dir, text: str, params: dict | None = None):
+    """Run a SPARQL text against the memoized catalog KG with the
+    store's predicate stats supplied for cost-based BGP ordering."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    return run_sparql(
+        _kg(spark, sf_dir).triples,
+        text,
+        params,
+        stats=_kg_stats(spark, sf_dir),
+    )
+
+
 def q_kg_triples(spark, sf_dir):
     """Flagship: full pages→triples KG construction.  Oracle twin
     (_oracle_kg_triples) recomputes emit→CC→rewrite in pure SQL
@@ -1641,6 +1668,7 @@ def q_kg_bgp(spark, sf_dir):
         optionals=[[("?sec", DCT + "title", "?sectitle")]],
         filters=["issued >= '1996-01'"],
         select=["sec", "doc", "pub", "title", "issued", "sectitle"],
+        stats=_kg_stats(spark, sf_dir),
     )
 
 
@@ -1656,6 +1684,7 @@ def q_kg_paths(spark, sf_dir):
         _kg(spark, sf_dir).triples,
         [("?part", DCT + "isPartOf+", "?anc")],
         select=["part", "anc"],
+        stats=_kg_stats(spark, sf_dir),
     )
 
 
@@ -1664,10 +1693,9 @@ def q_kg_sparql(spark, sf_dir):
     UNION + FILTER query parsed from source text and compiled onto
     the BGP engine — the structural-edge slice of the KG (citations
     ∪ containment), subjects restricted to section fragments."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         """
         PREFIX dcterms: <http://purl.org/dc/terms/>
         SELECT ?s ?o WHERE {
@@ -1718,9 +1746,7 @@ def q_kg_facets_sparql(spark, sf_dir):
     (doctest at documentrepository.py:2330-2345), run against the
     live KG — DISTINCT + FROM dataset clause + per-facet OPTIONALs
     compiled to left joins on the triples table."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(_kg(spark, sf_dir).triples, FACET_QUERY_RQ)
+    return _kg_sparql(spark, sf_dir, FACET_QUERY_RQ)
 
 
 ORACLE_KG_FACETS_TMPL = """
@@ -1747,10 +1773,9 @@ def q_kg_sparql_neg(spark, sf_dir):
     """SPARQL negation end-to-end: document parts never cited by
     anything — FILTER NOT EXISTS compiled to the engine's left-anti
     join, run from verbatim query text on the live KG."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         """
         PREFIX dcterms: <http://purl.org/dc/terms/>
         SELECT ?s WHERE {
@@ -1780,10 +1805,9 @@ def q_kg_sparql_agg(spark, sf_dir):
     compiled to one groupBy shuffle with map-side partial
     aggregation (the relational restatement of rdflib's aggregate
     algebra the reference gets via SPARQL 1.1)."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         """
         SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?o) AS ?objs)
                (MIN(?o) AS ?first)
@@ -1809,10 +1833,9 @@ def q_kg_sparql_topk(spark, sf_dir):
     resources with their titles — a grouped top-k subquery (ORDER BY
     DESC(count) LIMIT, compiled to TakeOrderedAndProject with map-side
     partial aggregation) joined outward onto the title pattern."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         """
         PREFIX dcterms: <http://purl.org/dc/terms/>
         SELECT ?d ?t ?n WHERE {
@@ -1847,10 +1870,9 @@ def q_kg_sparql_aggexpr(spark, sf_dir):
     hidden aggregate columns, plus a string expression over the group
     key; still one partial-agg shuffle (the extra aggregate rides the
     same groupBy, the division/concat are per-group scalar ops)."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         """
         SELECT ?p (COUNT(*) AS ?n)
                (COUNT(*)/COUNT(DISTINCT ?s) AS ?fanout)
@@ -1936,10 +1958,9 @@ def q_kg_sparql_pathgroup(spark, sf_dir):
     _alts_pairs: two predicate-pushed scans equi-joined into the
     composed edge set, then frontier self-joins — never a pattern
     rewrite, never Python."""
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         """
         PREFIX dcterms: <http://purl.org/dc/terms/>
         SELECT ?d ?o WHERE {
@@ -1977,8 +1998,6 @@ def q_kg_sparql_nps(spark, sf_dir):
     complement scan endpoint-swapped; the mixed set unions the two
     (_nps_scan)."""
     from ferenda_spark.config import BIBO, DCT, PROV_GENERATED_BY, RDF_TYPE
-    from ferenda_spark.operators.sparql import run_sparql
-
     meta_preds = "|".join(
         f"<{p}>"
         for p in (
@@ -2003,8 +2022,9 @@ def q_kg_sparql_nps(spark, sf_dir):
             PROV_GENERATED_BY,
         )
     )
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         f"SELECT ?s ?o WHERE {{ ?s !({meta_preds}|{not_refs}) ?o }}",
     )
 
@@ -2058,10 +2078,9 @@ def q_kg_sparql_builtins(spark, sf_dir):
     two-pattern join — zero Python, zero extra shuffles beyond the
     pattern join itself."""
     from ferenda_spark.config import DCT
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         f"""
         PREFIX dcterms: <{DCT}>
         SELECT ?d ?y ?m ?h WHERE {{
@@ -2105,10 +2124,9 @@ def q_kg_sparql_mint(spark, sf_dir):
     the triples schema, so the output feeds a triplestore sink
     directly."""
     from ferenda_spark.config import DCT
-    from ferenda_spark.operators.sparql import run_sparql
-
-    return run_sparql(
-        _kg(spark, sf_dir).triples,
+    return _kg_sparql(
+        spark,
+        sf_dir,
         f"""
         PREFIX dcterms: <{DCT}>
         CONSTRUCT {{ ?d <https://kg.example.org/vocab/slugOf> ?m }}

@@ -177,3 +177,59 @@ def test_kg_paths_matches_duckdb_oracle(spark):
     want = sorted(tuple(r) for r in duckdb.sql(_oracle_kg_paths()).fetchall())
     assert got == want
     assert len(got) > 1000
+
+
+def test_pred_stats_and_cost_ordering(g):
+    """pred_stats counts the store; _order_patterns breaks equal-shape
+    ties by estimated cardinality (rarest predicate first), and the
+    ordering never changes RESULTS — only the join order."""
+    from ferenda_spark.operators.graphquery import (
+        _order_patterns,
+        pred_stats,
+        use_stats,
+    )
+
+    stats = pred_stats(g)
+    assert stats["title"] == 3 and stats["publisher"] == 1
+
+    # two 2-var patterns: without stats, lexical order puts partOf
+    # first; with stats, publisher (1 row) beats partOf (2 rows)
+    pats = [("?a", "partOf", "?b"), ("?a", "publisher", "?c")]
+    assert _order_patterns(list(pats))[0][1] == "partOf"
+    assert _order_patterns(list(pats), stats)[0][1] == "publisher"
+    # path quantifiers estimate via their base predicate
+    pq = [("?a", "partOf+", "?b"), ("?a", "publisher", "?c")]
+    assert _order_patterns(list(pq), stats)[0][1] == "publisher"
+
+    # results are identical with and without stats (explicit and
+    # ambient via use_stats)
+    pats3 = [
+        ("?sec", "references", "?doc"),
+        ("?doc", "publisher", "?pub"),
+        ("?doc", "title", "?t"),
+    ]
+    want = {("d2#s1", "d1", "org1", "Alpha")}
+    sel = ["sec", "doc", "pub", "t"]
+    assert {tuple(r) for r in bgp(g, pats3, select=sel).collect()} == want
+    assert {
+        tuple(r) for r in bgp(g, pats3, select=sel, stats=stats).collect()
+    } == want
+    with use_stats(stats):
+        assert {tuple(r) for r in bgp(g, pats3, select=sel).collect()} == want
+
+
+def test_run_sparql_with_stats(g):
+    """run_sparql(stats=...) scopes stats over the whole compile and
+    returns the same solutions as the statless compile."""
+    from ferenda_spark.operators.graphquery import pred_stats
+    from ferenda_spark.operators.sparql import run_sparql
+
+    q = """
+    SELECT ?sec ?pub WHERE {
+      ?sec <references> ?doc .
+      ?doc <publisher> ?pub .
+    }
+    """
+    base = {tuple(r) for r in run_sparql(g, q).collect()}
+    got = {tuple(r) for r in run_sparql(g, q, stats=pred_stats(g)).collect()}
+    assert got == base == {("d2#s1", "org1")}
