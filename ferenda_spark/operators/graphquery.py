@@ -61,7 +61,16 @@ def closure_pairs(
     (documentrepository.py via relate.annotations).  max_hops-1
     self-joins on the frontier; each hop's frontier is the only
     thing shuffled, and containment-style edges fan out sublinearly
-    so the frontier shrinks as it climbs."""
+    so the frontier shrinks as it climbs.
+
+    Each hop's frontier is DEDUPED before the next join (semi-naive
+    style): without it the frontier carries one row per *path*, and
+    path counts grow multiplicatively with graph density — a dense
+    web-citation graph has exponentially more length-i paths than
+    distinct (src, dst) pairs, while the deduped frontier is bounded
+    by the pair count.  Costs one exchange per hop; the dedup key is
+    the same (src) the next join shuffles on, so AQE reuses the
+    partitioning where it can."""
     out = step if min_hops <= 1 else None
     hop = step
     for i in range(2, max_hops + 1):
@@ -69,6 +78,7 @@ def closure_pairs(
             hop.alias("a")
             .join(step.alias("b"), F.col("a.dst") == F.col("b.src"), "inner")
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .distinct()
         )
         if i >= min_hops:
             out = hop if out is None else out.union(hop)
