@@ -495,13 +495,16 @@ def _est_card(t, stats: dict) -> int:
     look up their base predicate; variable predicates, NPS
     complements and composed path bodies estimate as the whole
     store).  Used only as an ordering key — never as a hard plan
-    decision, so a stale estimate degrades order, not correctness."""
+    decision, so a stale estimate degrades order, not correctness.
+    A constant predicate ABSENT from the stats scans 0 rows — the
+    most selective pattern there is — so it estimates as 0, not as
+    the whole store (stale-stats staleness only ever reorders)."""
     total = sum(stats.values()) or 1
     _, p, _ = t
     if isinstance(p, str) and not _is_var(p):
         b = _path_bounds(p, 10)
         base = b[0] if b is not None else p
-        return stats.get(base, total)
+        return stats.get(base, 0)
     return total
 
 

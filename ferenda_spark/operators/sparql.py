@@ -116,7 +116,10 @@ _TOKEN_RE = re.compile(
       <[^>\s]*>                                 # IRI (never spans spaces,
                                                 #  so '?x < 5 … ?y > 2'
                                                 #  cannot read as one)
-    | "(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?   # literal (+tag)
+    | "(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+              # literal (+lang tag,
+        |\^\^<[^>\s]*>                                #  +bracketed dt IRI —
+        |\^\^[A-Za-z_][\w-]*:[\w.-]*)?                #  +prefixed dt; never
+                                                      #  swallows ')' etc.
     | \?[A-Za-z_]\w*                            # variable
     | [A-Za-z_][\w-]*:[\w.-]*[*+]?              # prefixed name (+path mod)
     | [A-Za-z_][A-Za-z0-9_]*                    # bare keyword / 'a'
@@ -694,8 +697,20 @@ def _term_meta(tok: str, prefixes: dict) -> tuple[str, str, str, str]:
             f"coalesce(_dt_{v}, '')",
         )
     if tok.startswith('"'):
-        val = _resolve(tok, prefixes).replace("'", "''")
-        return (f"'{val}'", "false", "''", "''")
+        # the tokenizer carries @lang / ^^<dt> on the literal token —
+        # sameTerm must see them ("chat"@en is NOT the plain "chat")
+        m = re.fullmatch(r'("(?:[^"\\]|\\.)*")(@[A-Za-z0-9-]+|\^\^\S+)?', tok)
+        if not m:
+            raise SparqlSyntaxError(f"cannot parse literal {tok!r}")
+        val = _resolve(m.group(1), prefixes).replace("'", "''")
+        tag = m.group(2)
+        lang = tag[1:] if tag and tag.startswith("@") else ""
+        dt = (
+            _resolve(tag[2:], prefixes).replace("'", "''")
+            if tag and tag.startswith("^^")
+            else ""
+        )
+        return (f"'{val}'", "false", f"'{lang}'", f"'{dt}'")
     if tok.startswith("<") or ":" in tok:
         val = _resolve(tok, prefixes).replace("'", "''")
         return (f"'{val}'", "true", "''", "''")
@@ -986,10 +1001,12 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             # metadata (kind / language tag / datatype) must all
             # agree — plain string equality alone would call "x"@en
             # and "x"^^xsd:token the same term.  Operands are single
-            # terms (?var, IRI, or plain literal).  An unbound
-            # operand is a SPARQL type error: plain `=` propagates
-            # its NULL and the solution drops, the engine's
-            # relational reading of error-drops-solution.
+            # terms (?var, IRI, or literal).  An unbound operand is
+            # a SPARQL type error: the result must be NULL (so the
+            # row drops under plain FILTER and STILL drops under
+            # NOT) — the metadata legs coalesce to definite values,
+            # so the NULL must be forced by an explicit unbound
+            # guard, not left to `=` propagation alone.
             if not (
                 i + 5 < n
                 and toks[i + 1] == "("
@@ -1000,8 +1017,9 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             av, au, al, ad = _term_meta(toks[i + 2], prefixes)
             bv, bu, bl, bd = _term_meta(toks[i + 4], prefixes)
             out.append(
-                f"({av} = {bv} AND {au} = {bu} AND {al} = {bl} "
-                f"AND {ad} = {bd})"
+                f"(CASE WHEN {av} IS NULL OR {bv} IS NULL THEN NULL "
+                f"ELSE {av} = {bv} AND {au} = {bu} AND {al} = {bl} "
+                f"AND {ad} = {bd} END)"
             )
             i += 6
             continue
@@ -1259,8 +1277,11 @@ def parse_sparql(text: str, params: dict | None = None) -> dict:
         raise SparqlSyntaxError(f"malformed query: {e}") from e
 
 
-def _parse_toks(toks: list[str]) -> dict:
-    prefixes, i = {}, 0
+def _parse_prologue(toks: list[str], i: int, prefixes: dict) -> int:
+    """Consume a run of PREFIX declarations starting at toks[i] into
+    `prefixes`; returns the index past the run.  Shared by the query
+    parser and the Update front-end (which re-allows a prologue after
+    each ';', per the Update grammar)."""
     while i < len(toks) and toks[i].upper() == "PREFIX":
         pfx = toks[i + 1]
         if not pfx.endswith(":") and ":" in pfx:
@@ -1271,6 +1292,12 @@ def _parse_toks(toks: list[str]) -> dict:
             raise SparqlSyntaxError("PREFIX needs '<iri>'")
         prefixes[pfx.rstrip(":")] = iri[1:-1]
         i += 3
+    return i
+
+
+def _parse_toks(toks: list[str]) -> dict:
+    prefixes: dict = {}
+    i = _parse_prologue(toks, 0, prefixes)
     form = toks[i].upper()
     i += 1
     out: dict = {

@@ -43,12 +43,19 @@ from ferenda_spark.operators.sparql import (
     _compile_group,
     _empty_group,
     _parse_group,
+    _parse_prologue,
     _resolve,
     _tokenize,
 )
 
 #: the engine's term columns, in store order
 _TERM_COLS = ("subj", "pred", "obj", "obj_is_uri", "lang", "datatype")
+
+#: trailing path quantifier on a subject/predicate template token —
+#: property paths are query syntax, not QuadPattern syntax (Update
+#: grammar); a path modifier surviving into a template would emit a
+#: predicate string no store row has, silently deleting nothing
+_PATH_MOD_RE = re.compile(r"(\*|\+|\{\d*,?\d*\})$")
 
 
 def _ground_object(tok: str, prefixes: dict) -> tuple[str, bool, str | None, str | None]:
@@ -90,6 +97,16 @@ def _parse_quads(
             return (tok, None, None, None) if object_pos else tok
         if object_pos:
             return _ground_object(tok, prefixes)
+        if (
+            tok in ("/", "|", "^", "(", ")", "!")
+            or _PATH_MOD_RE.search(tok)
+            or (tok.startswith("<") and not tok.endswith(">"))
+        ):
+            raise SparqlSyntaxError(
+                f"property-path syntax {tok!r} is not allowed in "
+                "update templates/quads (Update grammar: QuadPattern "
+                "takes ground predicates or variables)"
+            )
         return _resolve(tok, prefixes)
 
     while i < len(toks):
@@ -215,14 +232,30 @@ def _delete(store: DataFrame, dels: DataFrame) -> DataFrame:
 
 
 def _insert(store: DataFrame, ins: DataFrame) -> DataFrame:
-    """store ∪ ins with set semantics over the term columns — the
-    one key shuffle of an update request (an Iceberg-MERGE-shaped
-    copy-on-write batch)."""
+    """store ∪ ins with set semantics: dedup the (query-sized) batch,
+    anti-join it against the store, append only the genuinely-new
+    rows.  Inserts target the DEFAULT graph (templates/DATA never
+    carry a graph), so on a multi-graph store the existence probe
+    compares against default-graph rows only — a triple present in a
+    named graph is still added to the default graph, and rows the
+    insert never touched (named-graph copies, extra store columns)
+    are preserved verbatim rather than run through a store-wide
+    dropDuplicates that could collapse or arbitrarily replace them.
+    Plan: the dedup and anti-join shuffle the BATCH; a query-sized
+    batch broadcasts under AQE and the store is never shuffled."""
     term_cols = [c for c in _TERM_COLS if c in store.columns]
-    return (
-        store.unionByName(_align(ins, store), allowMissingColumns=True)
-        .dropDuplicates(term_cols)
+    batch = _align(ins, store).dropDuplicates(term_cols).alias("d")
+    tgt = (
+        store.filter(F.col("graph").isNull())
+        if "graph" in store.columns
+        else store
     )
+    cond = None
+    for c in term_cols:
+        eq = F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
+        cond = eq if cond is None else cond & eq
+    new_rows = batch.join(tgt.alias("s"), cond, "left_anti")
+    return store.unionByName(new_rows, allowMissingColumns=True)
 
 
 def run_update(
@@ -235,31 +268,36 @@ def run_update(
     the triples table and return the resulting triples table.
     Operations chain with ';' and each sees its predecessors'
     effects; within one DELETE/INSERT..WHERE the WHERE and both
-    templates all read the pre-operation state (spec §3.1.3)."""
+    templates all read the pre-operation state (spec §3.1.3).
+
+    Error contract: malformed input of ANY shape raises
+    SparqlSyntaxError (same as parse_sparql — never a bare
+    IndexError/ValueError from token lookahead)."""
     if params:
         text = text % params
-    toks = _tokenize(text)
-    prefixes, i = {}, 0
+    try:
+        return _run_update_toks(triples, _tokenize(text), max_path_hops)
+    except SparqlSyntaxError:
+        raise
+    except (IndexError, ValueError) as e:
+        raise SparqlSyntaxError(f"malformed update: {e}") from e
+
+
+def _run_update_toks(
+    triples: DataFrame, toks: list[str], max_path_hops: int
+) -> DataFrame:
+    prefixes: dict = {}
+    i = _parse_prologue(toks, 0, prefixes)
     store = triples
     first = True
     while i < len(toks):
-        while i < len(toks) and toks[i].upper() == "PREFIX":
-            pfx = toks[i + 1]
-            if not pfx.endswith(":") and ":" in pfx:
-                pfx = pfx.split(":", 1)[0] + ":"
-            iri = toks[i + 2]
-            if not iri.startswith("<"):
-                raise SparqlSyntaxError("PREFIX needs '<iri>'")
-            prefixes[pfx.rstrip(":")] = iri[1:-1]
-            i += 3
-        if i >= len(toks):
-            break
         if not first:
             if toks[i] != ";":
                 raise SparqlSyntaxError(
                     f"expected ';' between update operations, got {toks[i]!r}"
                 )
-            i += 1
+            # the Update grammar re-allows a prologue after each ';'
+            i = _parse_prologue(toks, i + 1, prefixes)
             if i >= len(toks):
                 break  # trailing ';'
         first = False
@@ -274,10 +312,20 @@ def run_update(
             tgt = toks[i].upper() if i < len(toks) else ""
             if tgt in ("ALL", "DEFAULT", "NAMED"):
                 i += 1
-                if tgt == "NAMED" and "graph" in store.columns:
-                    store = store.filter(F.col("graph").isNull())
-                else:
+                # scoping on a multi-graph store: the default graph
+                # is the NULL-graph rows, NAMED is everything else; a
+                # graph-less store IS the default graph, so NAMED is
+                # a no-op there (there are no named graphs to drop)
+                if tgt == "ALL":
                     store = store.limit(0)
+                elif tgt == "DEFAULT":
+                    store = (
+                        store.filter(F.col("graph").isNotNull())
+                        if "graph" in store.columns
+                        else store.limit(0)
+                    )
+                elif "graph" in store.columns:  # NAMED
+                    store = store.filter(F.col("graph").isNull())
             elif tgt == "GRAPH":
                 g = _resolve(toks[i + 1], prefixes)
                 i += 2

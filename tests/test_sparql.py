@@ -1698,3 +1698,55 @@ def test_not_in(g):
         "SELECT ?s WHERE { ?s <type> <Doc> . FILTER(?s NOT IN (<d1>, <dX>)) }",
     ).collect()
     assert [r["s"] for r in got] == ["d2"]
+
+
+def test_sameterm_tagged_literal_constant(g):
+    """A ground literal operand carries its @lang / ^^dt into the
+    term identity: sameTerm(?la, "Same"@en) matches ONLY the @en
+    row, and the bare "Same" matches none of the tagged rows
+    (spec §17.4.1.8 — a tagged literal is not the plain literal)."""
+    tagged = g.sparkSession.createDataFrame(
+        [
+            ("x1", "label", "Same", False, "en", None),
+            ("x2", "label", "Same", False, "sv", None),
+            ("x3", "label", "Same", False, None,
+             "http://www.w3.org/2001/XMLSchema#token"),
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string",
+    )
+    got = run_sparql(
+        tagged,
+        'SELECT ?a WHERE { ?a <label> ?l . FILTER(sameTerm(?l, "Same"@en)) }',
+    ).collect()
+    assert [r["a"] for r in got] == ["x1"]
+    got = run_sparql(
+        tagged,
+        'SELECT ?a WHERE { ?a <label> ?l . FILTER(sameTerm(?l, "Same")) }',
+    ).collect()
+    assert got == []
+    got = run_sparql(
+        tagged,
+        """SELECT ?a WHERE { ?a <label> ?l . FILTER(sameTerm(?l,
+           "Same"^^<http://www.w3.org/2001/XMLSchema#token>)) }""",
+    ).collect()
+    assert [r["a"] for r in got] == ["x3"]
+
+
+def test_sameterm_unbound_is_error_under_negation(g):
+    """An unbound sameTerm operand is a SPARQL type error; an error
+    under ! is STILL an error, so the row drops for both
+    FILTER(sameTerm(...)) and FILTER(!sameTerm(...)) — the NULL must
+    survive the metadata coalesce legs."""
+    # d2 has no <publisher>: ?pub is unbound for it under OPTIONAL
+    q = """SELECT ?d WHERE {
+        ?d <type> <Doc> .
+        OPTIONAL { ?d <publisher> ?pub }
+        FILTER(%(neg)ssameTerm(?pub, <org1>))
+    }"""
+    pos = run_sparql(g, q % {"neg": ""}).collect()
+    assert [r["d"] for r in pos] == ["d1"]
+    neg = run_sparql(g, q % {"neg": "!"}).collect()
+    # d2's unbound ?pub is a type error, NOT a negated false:
+    # neither branch keeps it
+    assert [r["d"] for r in neg] == []

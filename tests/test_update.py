@@ -240,3 +240,95 @@ def test_update_sequence_matches_naive(spark, seed):
             model |= {(t[0], b, t[2], t[3], t[4], t[5]) for t in moved}
     got = {tuple(r) for r in run_update(g, " ; ".join(ops)).collect()}
     assert got == model, (sorted(store), ops)
+
+
+# ---------------------------------------------------------------
+# regression: graph scoping, insert preservation, error contract
+# ---------------------------------------------------------------
+
+
+@pytest.fixture()
+def gmulti(spark, g):
+    """g with a graph column: d1's rows in named graph urn:g1, d2's
+    in the default graph, plus one triple present in BOTH."""
+    base = g.selectExpr(
+        "subj", "pred", "obj", "obj_is_uri", "lang", "datatype",
+        "CASE WHEN subj = 'd1' THEN 'urn:g1' END AS graph",
+    )
+    dup = spark.createDataFrame(
+        [("d1", "type", "Doc", True, None, None, None)],
+        base.schema,
+    )
+    return base.unionByName(dup)
+
+
+def test_clear_default_keeps_named_graphs(gmulti):
+    out = run_update(gmulti, "CLEAR DEFAULT")
+    assert out.filter("graph IS NULL").count() == 0
+    # every named-graph row survives
+    assert out.count() == gmulti.filter("graph IS NOT NULL").count()
+
+
+def test_drop_named_graphless_store_is_noop(g):
+    # a store without a graph column HAS no named graphs to drop
+    assert rows_of(run_update(g, "DROP NAMED")) == rows_of(g)
+
+
+def test_insert_preserves_cross_graph_duplicates(gmulti):
+    # the d1-type triple exists in urn:g1 AND the default graph;
+    # an unrelated insert must not collapse them
+    out = run_update(gmulti, "INSERT DATA { <dX> <type> <Doc> }")
+    assert out.count() == gmulti.count() + 1
+    both = out.filter("subj = 'd1' AND pred = 'type'")
+    assert sorted(
+        (r["graph"] or "") for r in both.collect()
+    ) == ["", "urn:g1"]
+
+
+def test_insert_targets_default_graph(gmulti):
+    # d1's title exists ONLY in urn:g1: inserting it adds a
+    # default-graph copy (graphs are separate); re-inserting a
+    # default-graph triple is still a no-op
+    out = run_update(gmulti, 'INSERT DATA { <d1> <title> "Alpha"@en }')
+    assert out.count() == gmulti.count() + 1
+    added = out.filter("subj = 'd1' AND lang = 'en'")
+    assert sorted(
+        (r["graph"] or "") for r in added.collect()
+    ) == ["", "urn:g1"]
+    out2 = run_update(gmulti, "INSERT DATA { <d2> <type> <Doc> }")
+    assert out2.count() == gmulti.count()
+
+
+def test_path_modifier_in_template_refused(g):
+    for bad in [
+        "DELETE WHERE { ?a <partOf>* ?b }",
+        "DELETE WHERE { ?a <partOf>+ ?b }",
+        "INSERT { ?a <p>* ?b } WHERE { ?a <p> ?b }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            run_update(g, bad)
+
+
+def test_truncated_update_raises_syntax_error(g):
+    for bad in ["INSERT DATA", "INSERT DATA {", "INSERT DATA { <s> }",
+                "DELETE", "CLEAR"]:
+        with pytest.raises(SparqlSyntaxError):
+            run_update(g, bad)
+
+
+def test_prologue_after_semicolon(g):
+    # Update grammar: each ';'-chained operation may carry its own
+    # prologue
+    out = run_update(
+        g,
+        "INSERT DATA { <a> <b> <c> } ; "
+        "PREFIX ex: <urn:ex:> INSERT DATA { ex:s ex:p ex:o }",
+    )
+    assert out.filter("subj = 'urn:ex:s'").count() == 1
+    # the ILLEGAL placement (prologue before the ';') is refused
+    with pytest.raises(SparqlSyntaxError):
+        run_update(
+            g,
+            "INSERT DATA { <a> <b> <c> } PREFIX ex: <urn:ex:> ; "
+            "INSERT DATA { ex:s ex:p ex:o }",
+        )
