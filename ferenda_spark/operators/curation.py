@@ -193,19 +193,20 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (id, n_emails, n_phones, n_digit_seqs, redacted_md5).
     redacted_md5 = md5 of the text after replacing every email/
     phone match with '<PII>' (emails first — a phone-like substring
-    inside an email must not double-fire).  Counts are
+    inside an email must not double-fire).  n_phones is counted on
+    the EMAIL-REDACTED text for the same reason: '+123456789@x.com'
+    is one email, not an email plus a phone.  Counts are
     regexp_extract_all sizes; everything is codegen'd column
     expressions — zero shuffle, no Python."""
     t = F.lower(F.col(text_col))
-    redacted = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL, "<PII>"), PII_PHONE, "<PII>"
-    )
+    email_red = F.regexp_replace(t, PII_EMAIL, "<PII>")
+    redacted = F.regexp_replace(email_red, PII_PHONE, "<PII>")
     return df.select(
         F.col(id_col).alias("id"),
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
+        F.size(F.regexp_extract_all(email_red, F.lit(PII_PHONE), 0))
         .cast("long")
         .alias("n_phones"),
         F.size(F.regexp_extract_all(t, F.lit(PII_DIGITS), 0))
@@ -291,11 +292,17 @@ def normalize_unicode(
     Scale design: normalization itself needs ICU-class tables, so it
     runs as an Arrow-batched pandas UDF (pandas' vectorized
     Series.str.normalize) — but ONLY for rows that contain a
-    non-ASCII character.  The `rlike` gate is a pure Catalyst
-    predicate, and ASCII text is NFC by construction, so on a
-    typical web corpus the overwhelming majority of rows never leave
-    the JVM; the Python path sees just the non-ASCII minority.
-    Zero shuffle either way (pure projection)."""
+    non-ASCII character.  The gate is a FILTER/UNION SPLIT, not a
+    CASE WHEN around the UDF: Catalyst extracts Python UDFs out of
+    conditionals into an ArrowEvalPython node that runs over EVERY
+    input row (measured — the when() only picks which precomputed
+    value to keep), so the conditional form ships the whole corpus
+    through Arrow anyway.  Split, the clean branch (the overwhelming
+    majority of a web corpus; ASCII is NFC by construction) never
+    leaves the JVM and only the non-ASCII branch pays the Python
+    round-trip.  Zero shuffle either way (two filters + union over
+    one scan); persist upstream first if it is expensive to
+    recompute, as with any multi-consumer plan."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -303,10 +310,10 @@ def normalize_unicode(
         return s.str.normalize(form)
 
     t = F.col(text_col)
-    return df.withColumn(
-        text_col,
-        F.when(t.isNotNull() & t.rlike(_NON_ASCII), _norm(t)).otherwise(t),
-    )
+    needs = t.isNotNull() & t.rlike(_NON_ASCII)
+    clean = df.filter(t.isNull() | ~t.rlike(_NON_ASCII))
+    dirty = df.filter(needs).withColumn(text_col, _norm(t))
+    return clean.unionByName(dirty)
 
 
 #: UTF-8-read-as-latin1 leaves a lead byte (U+00C2..U+00F4 as a
@@ -326,7 +333,9 @@ def fix_mojibake(df: DataFrame, text_col: str, max_passes: int = 3) -> DataFrame
 
     Scale design mirrors normalize_unicode: the repair runs as an
     Arrow-batched pandas UDF, but only for rows matching the
-    mojibake indicator pair (a pure-Catalyst rlike) — clean ASCII
+    mojibake indicator pair (a pure-Catalyst rlike) — the gate is a
+    filter/union split (see normalize_unicode: a CASE WHEN around a
+    Python UDF still evaluates it for every row), so clean ASCII
     and clean non-ASCII text never leave the JVM.  Zero shuffle."""
     from pyspark.sql.functions import pandas_udf
 
@@ -352,10 +361,10 @@ def fix_mojibake(df: DataFrame, text_col: str, max_passes: int = 3) -> DataFrame
         return s.map(_fix_one)
 
     t = F.col(text_col)
-    return df.withColumn(
-        text_col,
-        F.when(t.isNotNull() & t.rlike(_MOJIBAKE_MARK), _fix(t)).otherwise(t),
-    )
+    needs = t.isNotNull() & t.rlike(_MOJIBAKE_MARK)
+    clean = df.filter(t.isNull() | ~t.rlike(_MOJIBAKE_MARK))
+    dirty = df.filter(needs).withColumn(text_col, _fix(t))
+    return clean.unionByName(dirty)
 
 
 def clean_lines(
@@ -382,8 +391,11 @@ def clean_lines(
     sort_array(collect_list(struct(pos, line))) — the same bounded
     per-doc aggregation as dedup.remove_duplicate_spans; no Python,
     no window, shuffle keyed on id only."""
+    # id kept AS-IS: a cast("long") here would turn string ids
+    # (urls — what half this module's operators key on) into NULL
+    # and silently merge every document into one id=NULL group
     lines = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
     ).withColumn("line", F.trim(F.col("raw")))
     keep = (
@@ -407,7 +419,7 @@ def clean_lines(
     totals = lines.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines")
     )
-    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    ids = df.select(F.col(id_col).alias("id")).distinct()
     return (
         ids.join(totals, "id", "left")
         .join(reassembled, "id", "left")
@@ -520,10 +532,14 @@ def weighted_sample(
         F.conv(
             F.substring(
                 F.md5(
+                    # NULL key/id must still draw (concat of any
+                    # NULL is NULL -> u NULL -> row silently dropped
+                    # even at default_rate=1.0); '' is the NULL
+                    # bucket's stable stand-in
                     F.concat(
-                        F.col(key_col),
+                        F.coalesce(F.col(key_col), F.lit("")),
                         F.lit(":"),
-                        F.col(id_col).cast("string"),
+                        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
                     )
                 ),
                 1,

@@ -64,6 +64,10 @@ def _unescape_segment(seg: Column) -> Column:
     backslash starts a genuine escape sequence."""
     for raw, esc in _ESCAPES[1:]:
         seg = F.replace(seg, F.lit(esc), F.lit(raw))
+    # \' is a legal ECHAR we never EMIT (raw ' needs no escape) but
+    # must ACCEPT — foreign dumps that uniformly escape quotes are
+    # conformant N-Triples 1.1
+    seg = F.replace(seg, F.lit("\\'"), F.lit("'"))
     for c in range(0x20):
         seg = F.replace(seg, F.lit("\\u%04x" % c), F.lit(chr(c)))
         seg = F.replace(seg, F.lit("\\u%04X" % c), F.lit(chr(c)))
@@ -145,15 +149,39 @@ def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None)
 
 # ------------------------------------------------------------------ parse
 
-#: whole-line shape: subject IRI, predicate IRI, object term, dot.
-#: Tolerates leading/trailing whitespace and \r (dumps from CRLF
-#: systems); comment and blank lines are filtered before this.
-_LINE_RE = r"^\s*<([^>]*)>\s+<([^>]*)>\s+(.+?)\s*\.\s*$"
+#: blank-node label (pragmatic subset of the 1.1 charset)
+_BNODE = r"_:[A-Za-z0-9][A-Za-z0-9_.-]*"
+#: a VALID object term: IRI, blank node, or literal with optional
+#: @lang / ^^<dt> tag.  The line match validates the term shape —
+#: an object that is none of these (malformed term, stray text) is
+#: a malformed LINE and drops, never a fabricated empty literal.
+_OBJ_TERM = (
+    r"<[^>]*>"
+    rf"|{_BNODE}"
+    r'|"(?:[^"\\]|\\.)*"'
+    r"(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\^\^<[^>]*>)?"
+)
+#: whole-line shape: subject IRI or bnode, predicate IRI, object
+#: term, dot.  Tolerates leading/trailing whitespace and \r (dumps
+#: from CRLF systems); comment and blank lines are filtered first.
+_LINE_RE = rf"^\s*(<[^>]*>|{_BNODE})\s+<([^>]*)>\s+({_OBJ_TERM})\s*\.\s*$"
 #: object-term shapes
 _OBJ_URI_RE = r"^<(.*)>$"
 _OBJ_LIT_RE = r'^"((?:[^"\\]|\\.)*)"'
 _OBJ_LANG_RE = r'"@([A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*)$'
 _OBJ_DT_RE = r'"\^\^<([^>]*)>$'
+
+
+def _skolemize(term: Column, scope: Column) -> Column:
+    """Blank-node term -> stable skolem IRI (the engine's stores are
+    bnode-free by construction; foreign bnodes become
+    ``urn:bnode:<scope>:<label>``).  Scope is per input file — bnode
+    labels are document-scoped in the grammar, and file-hash scoping
+    keeps labels from distinct dump shards from aliasing while
+    staying a pure column expression (no shuffle, no state)."""
+    return F.concat(
+        F.lit("urn:bnode:"), scope, F.lit(":"), F.substring(term, 3, 2**30)
+    )
 
 
 def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -162,24 +190,38 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
     triplestore.py add_serialized_file).  Pure regexp_extract +
     replace column work: a 100 TB .nt ingest is scan + projection,
     no shuffle.  Comment (#...) and blank lines are dropped;
-    malformed lines are dropped too (filter on the full-line match),
-    mirroring a lenient bulk loader."""
-    src = lines.select(F.col(col).alias("_l"))
+    malformed lines — including malformed OBJECT terms, which must
+    never become fabricated empty literals — are dropped too (the
+    full-line match validates every term shape), mirroring a lenient
+    bulk loader.  Blank-node subjects/objects are skolemized to
+    ``urn:bnode:<filehash>:<label>`` IRIs (see _skolemize)."""
+    src = lines.select(
+        F.col(col).alias("_l"),
+        F.substring(F.md5(F.input_file_name()), 1, 8).alias("_scope"),
+    )
     src = src.filter(
         (F.trim("_l") != "") & ~F.trim("_l").startswith("#")
         & F.col("_l").rlike(_LINE_RE)
     )
+    subj_term = F.regexp_extract("_l", _LINE_RE, 1)
     obj_term = F.regexp_extract("_l", _LINE_RE, 3)
     is_uri = obj_term.startswith("<")
+    is_bnode = obj_term.startswith("_:")
     lang = F.regexp_extract(obj_term, _OBJ_LANG_RE, 1)
     dt = F.regexp_extract(obj_term, _OBJ_DT_RE, 1)
     return src.select(
-        F.regexp_extract("_l", _LINE_RE, 1).alias("subj"),
+        F.when(
+            subj_term.startswith("_:"),
+            _skolemize(subj_term, F.col("_scope")),
+        )
+        .otherwise(F.regexp_extract(subj_term, _OBJ_URI_RE, 1))
+        .alias("subj"),
         F.regexp_extract("_l", _LINE_RE, 2).alias("pred"),
         F.when(is_uri, F.regexp_extract(obj_term, _OBJ_URI_RE, 1))
+        .when(is_bnode, _skolemize(obj_term, F.col("_scope")))
         .otherwise(unescape_literal(F.regexp_extract(obj_term, _OBJ_LIT_RE, 1)))
         .alias("obj"),
-        is_uri.alias("obj_is_uri"),
+        (is_uri | is_bnode).alias("obj_is_uri"),
         F.when(lang != "", lang).alias("lang"),
         F.when(dt != "", dt).alias("datatype"),
     )

@@ -912,7 +912,9 @@ ORACLE_PII = f"""
 WITH b AS (SELECT event_id, lower(props) AS t FROM events)
 SELECT event_id AS id,
        CAST(len(regexp_extract_all(t, '{CU.PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '{CU.PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(
+             regexp_replace(t, '{CU.PII_EMAIL}', '<PII>', 'g'),
+             '{CU.PII_PHONE}')) AS BIGINT) AS n_phones,
        CAST(len(regexp_extract_all(t, '{CU.PII_DIGITS}')) AS BIGINT) AS n_digit_seqs,
        md5(regexp_replace(
              regexp_replace(t, '{CU.PII_EMAIL}', '<PII>', 'g'),

@@ -115,6 +115,24 @@ def apply_batch(
     if prior_v is not None and batch.limit(1).count() == 0:
         return None  # empty drain — nothing to commit
 
+    # A drained micro-batch can hold SEVERAL versions of one url
+    # (multi-version recrawl drops — the case the pages schema's
+    # warc_ts exists for).  Everything below assumes one row per
+    # url (fingerprint merge, delta join, stage rebuild), so resolve
+    # to latest-warc_ts-wins FIRST; without this, duplicate (url,
+    # fp) rows enter the persisted fingerprint table and every later
+    # batch's left-join fans out — compounding state corruption.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+    )
+    batch = (
+        batch.withColumn("_vrn", F.row_number().over(w))
+        .filter(F.col("_vrn") == 1)
+        .drop("_vrn")
+    )
+
     if prior_v is None:
         kg = build_kg(spark, batch, cfg)
         state, n_delta, mode = None, batch.select("url").distinct().count(), "bootstrap"
@@ -160,13 +178,18 @@ def apply_batch(
     # cuts so a forever-running loop doesn't accrete executor storage
     kg.release()
 
-    # snapshot expiry (never the version just committed)
+    # snapshot expiry (never the version just committed).  Floor of
+    # 2: the KGResult returned below is LAZY and its lineage reads
+    # the PRIOR version's parquet (incremental_kg joins against the
+    # stored stage tables) — expiring that version here would make
+    # the caller's first action on the result throw FileNotFound.
     live = sorted(
         int(d[1:])
         for d in os.listdir(state_root)
         if d.startswith("v") and d[1:].isdigit()
     )
-    for old in live[:-retain] if retain > 0 else []:
+    keep = max(retain, 2)
+    for old in live[:-keep] if retain > 0 else []:
         shutil.rmtree(_vdir(state_root, old), ignore_errors=True)
     return kg
 

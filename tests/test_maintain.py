@@ -113,3 +113,44 @@ def test_snapshot_expiry_retains_recent(spark, tmp_path):
     vs = sorted(d for d in os.listdir(state) if d.startswith("v"))
     assert vs == ["v1", "v2"]
     shutil.rmtree(state)
+
+
+def test_multi_version_batch_resolves_latest(spark, tmp_path):
+    """A drained micro-batch holding SEVERAL warc_ts versions of one
+    url must resolve latest-wins BEFORE state lands: exactly one
+    fingerprint row per url, and the stored state equals a rebuild
+    from the latest versions only (no duplicate doc/segment rows
+    compounding into later batches)."""
+    import pyspark.sql.functions as F
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    pages = synth_pages(spark, 8, seed=42)
+    # duplicate every url: an older shadow version with other text
+    older = pages.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 7 DAYS")
+    ).withColumn("text", F.concat(F.lit("STALE "), F.col("text")))
+    batch = pages.unionByName(older)
+    kg = apply_batch(spark, batch, state, batch_id=0)
+    assert kg is not None
+    fp = spark.read.parquet(os.path.join(state, "v0", "fingerprints"))
+    assert fp.count() == fp.select("url").distinct().count() == 8
+    want = _triples_set(build_kg(spark, pages).triples)
+    got = spark.read.parquet(os.path.join(state, "v0", "triples"))
+    assert _triples_set(got) == want
+    shutil.rmtree(state)
+
+
+def test_retain_floor_keeps_result_readable(spark, tmp_path):
+    """retain=1 must not expire the prior version that backs the
+    just-returned LAZY KGResult: acting on the result after commit
+    still works (expiry floors at 2 live versions)."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    apply_batch(spark, synth_pages(spark, 8, seed=42), state, batch_id=0,
+                retain=1)
+    pages2 = synth_pages_v2(spark, 8, n_new=2, change_every=4, seed=42)
+    kg = apply_batch(spark, pages2, state, batch_id=1, retain=1)
+    assert kg is not None
+    assert kg.triples.count() > 0  # lineage reads v0 — must still exist
+    shutil.rmtree(state)

@@ -187,3 +187,39 @@ def test_fuzz_roundtrip_batched(spark):
     got = {r["subj"]: r["obj"] for r in back.collect()}
     want = {str(i): t for i, t in enumerate(cases)}
     assert got == want
+
+
+def test_parse_bnodes_and_malformed_objects(spark):
+    """Blank-node terms skolemize to stable urn:bnode IRIs (the
+    store is bnode-free by construction); an OBJECT that is neither
+    IRI, bnode nor literal is a malformed LINE and drops — it must
+    never surface as a fabricated empty literal."""
+    lines = spark.createDataFrame(
+        [
+            ("<http://x/a> <http://x/p> _:b0 .",),
+            ("_:b0 <http://x/p> <http://x/c> .",),
+            ("<http://x/a> <http://x/p> garbage .",),   # malformed obj
+            ("<http://x/a> <http://x/p> 42 .",),        # bare number: drop
+        ],
+        ["value"],
+    )
+    got = parse_ntriples(lines).collect()
+    assert len(got) == 2
+    objs = {r["obj"] for r in got if r["subj"].startswith("http")}
+    # same label in the same (fileless) scope -> same skolem IRI
+    bn = next(iter(objs))
+    assert bn.startswith("urn:bnode:") and bn.endswith(":b0")
+    subj_bn = next(r for r in got if not r["subj"].startswith("http"))
+    assert subj_bn["subj"] == bn and subj_bn["obj_is_uri"] is True
+    # no fabricated empty-literal rows
+    assert all(r["obj"] != "" for r in got)
+
+
+def test_parse_escaped_single_quote(spark):
+    """\\' is a legal ECHAR foreign dumps may emit; it must decode
+    to a bare apostrophe, not survive as backslash-quote."""
+    lines = spark.createDataFrame(
+        [(r'<http://x/a> <http://x/p> "it\'s" .',)], ["value"]
+    )
+    got = parse_ntriples(lines).collect()
+    assert got[0]["obj"] == "it's"

@@ -146,3 +146,22 @@ def test_changed_rows_batch_twin(spark):
     # plan stays JVM-side: window + filter, no Python workers
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_changed_rows_null_fingerprints_excluded(spark):
+    """NULL fingerprints carry no content identity: the row is
+    excluded up front, and it must NOT poison the next row's lag
+    (which would mislabel it 'new' and lose the unchanged-skip)."""
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, 10, "A"),
+            ("u1", 2, 11, None),   # no identity -> excluded
+            ("u1", 3, 12, "A"),    # unchanged vs ts=1 -> dropped
+            ("u1", 4, 13, "B"),    # changed
+            ("u2", 1, 14, None),   # a key with ONLY null fps emits nothing
+        ],
+        "key string, ts int, id int, fp string",
+    )
+    out = changed_rows(df, "key", "ts", "fp", tiebreak_col="id")
+    got = {(r["key"], r["ts"], r["change_kind"]) for r in out.collect()}
+    assert got == {("u1", 1, "new"), ("u1", 4, "changed")}
