@@ -262,7 +262,7 @@ def audio_features(
 
     from ferenda_spark.sources.wav import decode_wav
 
-    decode = decode_audio or (lambda payload: decode_wav(payload))
+    decode = decode_audio or decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -300,17 +300,24 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling *plan*: one output row per sampled
     timestamp, derived from meta.duration_ms — pure column ops
     (sequence + explode), with the actual frame grab left to the
-    decode seam.  Output (id, frame_ts_ms)."""
+    decode seam.  Output (id, frame_ts_ms).
+
+    Videos with NULL or zero duration contribute NO rows (matching
+    sample_frames, which drops undecodable/empty clips): greatest()
+    skips NULLs, so without the filter a metadata-less video would
+    emit a spurious frame_ts_ms=0 row and overstate the job size."""
     from pyspark.sql import functions as F
 
     return (
-        media.filter(F.col("kind") == "video")
+        media.filter(
+            (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
+        )
         .select(
             "id",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.col("meta.duration_ms") - 1,
                     F.lit(every_ms),
                 )
             ).alias("frame_ts_ms"),

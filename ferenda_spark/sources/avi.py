@@ -45,6 +45,11 @@ def _walk_chunks(buf: bytes, pos: int, end: int):
         if body + length > end:
             raise ValueError("truncated AVI chunk")
         if fourcc == b"LIST":
+            if length < 4:
+                # a LIST body starts with its 4-byte list type; a
+                # shorter declared length would read the type from
+                # the NEXT chunk's bytes and yield a negative body
+                raise ValueError("truncated AVI LIST chunk")
             yield (b"LIST:" + buf[body : body + 4], body + 4, length - 4)
         else:
             yield (fourcc, body, length)
@@ -94,11 +99,17 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     height = abs(height)
     if width <= 0 or height <= 0:
         raise ValueError("degenerate frame dimensions")
-    # frame timing: stream dwRate/dwScale, else 1e6/dwMicroSecPerFrame
+    # frame timing: stream dwRate/dwScale, else 1e6/dwMicroSecPerFrame.
+    # Length-check before unpack: struct.error on a short header
+    # would escape the callers' ValueError drop-the-row contract.
+    if len(strh) < 28:
+        raise ValueError("short AVI stream header")
     scale, rate = struct.unpack("<II", strh[20:28])
     if rate and scale:
         frame_ms = 1000.0 * scale / rate
     else:
+        if len(avih) < 4:
+            raise ValueError("short AVI main header")
         (usec,) = struct.unpack("<I", avih[0:4])
         if not usec:
             raise ValueError("no frame timing in headers")

@@ -66,9 +66,20 @@ def extract_docx_text(payload: bytes) -> str:
     w:tab → tab, w:br / w:cr → newline, one line per w:p."""
     import xml.etree.ElementTree as ET
 
-    with zipfile.ZipFile(io.BytesIO(payload)) as z:
-        xml_bytes = z.read("word/document.xml")
-    root = ET.fromstring(xml_bytes)
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            xml_bytes = z.read("word/document.xml")
+    except KeyError:
+        # a well-formed zip that is NOT a docx (pptx/xlsx/plain zip
+        # — 'PK' sniffs as docx, wordreader.py:43-67); the error
+        # contract is ValueError, never a bare KeyError
+        raise ValueError("not a docx: zip has no word/document.xml")
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"corrupt zip container: {e}")
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError as e:  # subclasses SyntaxError, not ValueError
+        raise ValueError(f"malformed document.xml: {e}")
     paras = []
     for p in root.iter(_W_NS + "p"):
         parts = []
@@ -107,9 +118,11 @@ def _pdf_unescape(s: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ddd, up to 3 digits
+            if nxt in b"01234567":  # octal \ddd, up to 3 OCTAL digits
+                # ('\8'/'\9' are unknown escapes whose backslash
+                # drops — isdigit() here would int('8', 8) and crash)
                 j = i + 1
-                while j < min(i + 4, len(s)) and s[j : j + 1].isdigit():
+                while j < min(i + 4, len(s)) and s[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(s[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -158,7 +171,14 @@ def decode_office(payload: bytes) -> tuple[str, str | None]:
     raises (antiword seam, wordreader.py:72-110); unknown → None."""
     ft = sniff_filetype(payload)
     if ft == "docx":
-        return ft, extract_docx_text(payload)
+        try:
+            return ft, extract_docx_text(payload)
+        except ValueError as e:
+            if str(e).startswith("not a docx"):
+                # well-formed zip, different format (pptx/xlsx/...):
+                # 'unknown', not 'corrupt'
+                return "unknown", None
+            raise
     if ft == "pdf":
         return ft, extract_pdf_text(payload)
     if ft == "doc":

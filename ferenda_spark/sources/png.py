@@ -114,6 +114,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, data in _chunks(payload):
         if ctype == b"IHDR":
+            if len(data) != 13:
+                # struct.error here would escape the callers'
+                # ValueError drop-the-row contract
+                raise ValueError("malformed IHDR (must be 13 bytes)")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -131,8 +135,16 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("interlaced PNG unsupported")
     ch = _CHANNELS[color]
     stride = width * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: the exact output size is known from IHDR, so
+    # cap at expected+1 — a decompression bomb becomes the ordinary
+    # size-mismatch ValueError instead of materializing gigabytes
+    # inside an executor before the size check runs
+    d = zlib.decompressobj()
+    raw = np.frombuffer(
+        d.decompress(bytes(idat), expected + 1), dtype=np.uint8
+    )
+    if raw.size != expected or not (d.eof or d.unconsumed_tail == b""):
         raise ValueError("PNG pixel data size mismatch")
     px = _unfilter(raw.reshape(height, stride + 1), height, stride, ch).reshape(
         height, width, ch
@@ -140,6 +152,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
+        if int(px[:, :, 0].max(initial=0)) >= len(palette):
+            # IndexError would escape the ValueError drop contract
+            raise ValueError("palette index out of range")
         return palette[px[:, :, 0]]
     if color == 0:
         return np.repeat(px, 3, axis=2)

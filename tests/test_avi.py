@@ -91,3 +91,29 @@ def test_sample_frames_grid_and_drops(spark):
     # the real sampler lands exactly on the plan's timestamp grid
     plan = frame_sample_plan(df.filter("id = 0"), every_ms=300).collect()
     assert sorted(p["frame_ts_ms"] for p in plan) == list(by_ts)
+
+
+def test_corrupt_headers_raise_valueerror_only():
+    """Short strh/avih and undersized LIST chunks raise ValueError,
+    never struct.error or misattributed garbage reads."""
+    import struct
+
+    import pytest
+
+    from ferenda_spark.sources.avi import decode_avi, encode_avi
+
+    good = encode_avi(np.zeros((1, 2, 2, 3), np.uint8))
+
+    # truncate the strh payload: find it and shrink its declared size
+    i = good.index(b"strh")
+    short = bytearray(good)
+    short[i + 4 : i + 8] = struct.pack("<I", 8)  # strh body now 8 bytes
+    with pytest.raises(ValueError):
+        decode_avi(bytes(short))
+
+    # LIST with declared length < 4
+    lst = bytearray(good)
+    j = lst.index(b"LIST")
+    lst[j + 4 : j + 8] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        decode_avi(bytes(lst))

@@ -100,3 +100,30 @@ def test_read_office_operator(spark):
     assert out[3]["filetype"] == "empty" and out[3]["n_chars"] == 0
     assert out[4]["filetype"] == "unknown"
     assert out[5]["filetype"] == "corrupt" and out[5]["text"] is None
+
+
+def test_pdf_unknown_escape_digits():
+    """'\\8'/'\\9' are not octal: the backslash drops (PDF spec) —
+    previously int('8', 8) crashed and mislabeled the whole doc."""
+    from ferenda_spark.sources.office import _pdf_unescape, extract_pdf_text
+
+    assert _pdf_unescape(rb"hi\8there") == b"hi8there"
+    assert _pdf_unescape(rb"oct\101ok") == b"octAok"  # \101 = 'A'
+    pdf = b"%PDF-1.4\n<< >>\nstream\nBT (a\\8b) Tj ET\nendstream\n"
+    assert extract_pdf_text(pdf) == "a8b"
+
+
+def test_non_docx_zip_is_unknown_not_corrupt():
+    """A well-formed pptx-style zip sniffs 'PK' but is NOT a docx:
+    decode_office says ('unknown', None); a truncated zip raises
+    ValueError (-> read_office's 'corrupt')."""
+    import pytest
+
+    from ferenda_spark.sources.office import decode_office, extract_docx_text
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("ppt/slides/slide1.xml", "<p/>")
+    assert decode_office(buf.getvalue()) == ("unknown", None)
+    with pytest.raises(ValueError):
+        extract_docx_text(b"PK\x03\x04justjunk")

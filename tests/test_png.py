@@ -115,3 +115,50 @@ def test_resize_images_real_png_path(spark):
     assert set(rows) == {1}
     got = np.frombuffer(bytes(rows[1]["rgb"]), np.uint8).reshape(2, 2, 3)
     np.testing.assert_array_equal(got, base[np.ix_([1, 3], [1, 3])])
+
+
+def test_corrupt_structures_raise_valueerror_only():
+    """Every corrupt-payload path raises ValueError (the callers'
+    drop-the-row contract) — never struct.error / IndexError."""
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from ferenda_spark.sources.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+
+    # IHDR body shorter than 13 bytes
+    bad_ihdr = PNG_MAGIC + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad_ihdr)
+
+    # palette image whose pixel indices exceed the PLTE entry count
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 5])  # filter 0, indices 0 and 5; palette has 1
+    oob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\x10\x20\x30")
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(oob)
+
+    # decompression bomb: IDAT inflates far beyond the declared
+    # dims — bounded inflate turns it into the size-mismatch error
+    bomb_raw = b"\x00" * (50 * 1024 * 1024)
+    bomb = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(bomb_raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bomb)

@@ -359,3 +359,24 @@ def test_ivf_topk_recall_and_contract(spark, embeddings):
     iv = {(r.query_id, r.neighbor_id) for r in got}
     # probing half the lists on random vectors: expect decent overlap
     assert len(ex & iv) / len(ex) >= 0.4
+
+
+def test_frame_sample_plan_skips_missing_duration(spark):
+    """NULL/zero duration_ms videos contribute no plan rows (they'd
+    otherwise each count a spurious frame at ts=0)."""
+    from ferenda_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", None, ("video/avi", 2, 2, 2500)),
+            (2, "video", None, ("video/avi", 2, 2, None)),
+            (3, "video", None, ("video/avi", 2, 2, 0)),
+            (4, "video", None, None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    got = sorted(
+        (r["id"], r["frame_ts_ms"])
+        for r in M.frame_sample_plan(media, every_ms=1000).collect()
+    )
+    assert got == [(1, 0), (1, 1000), (1, 2000)]
