@@ -281,8 +281,26 @@ def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
 _NON_ASCII = "[^\\u0000-\\u007F]"
 
 
+def _stable_for_split(df: DataFrame, assume_deterministic: bool) -> DataFrame:
+    """The filter/union split scans its input twice; on a
+    NON-deterministic unpersisted upstream (e.g. sampling without a
+    seed, rand() columns) the two branches could disagree — dropping
+    or duplicating rows.  Callers with such an upstream pass
+    assume_deterministic=False and we pin the input with a persist
+    (storage-level check first: an already-persisted input is left
+    alone).  The default stays zero-cost because deterministic
+    lineage — every reference pipeline stage here — needs no pin."""
+    if assume_deterministic:
+        return df
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        return df
+    return df.persist()
+
+
 def normalize_unicode(
-    df: DataFrame, text_col: str, form: str = "NFC"
+    df: DataFrame, text_col: str, form: str = "NFC",
+    assume_deterministic: bool = True,
 ) -> DataFrame:
     """Unicode-normalize a text column (default NFC — the form web
     text should be in before hashing/dedup/tokenization; decomposed
@@ -302,8 +320,13 @@ def normalize_unicode(
     leaves the JVM and only the non-ASCII branch pays the Python
     round-trip.  Zero shuffle either way (two filters + union over
     one scan); persist upstream first if it is expensive to
-    recompute, as with any multi-consumer plan."""
+    recompute, as with any multi-consumer plan.  If the upstream is
+    NON-deterministic (unseeded sample, rand()), pass
+    assume_deterministic=False — the double scan is then pinned with
+    a persist so both branches see the same rows."""
     from pyspark.sql.functions import pandas_udf
+
+    df = _stable_for_split(df, assume_deterministic)
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
@@ -323,7 +346,10 @@ def normalize_unicode(
 _MOJIBAKE_MARK = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
 
 
-def fix_mojibake(df: DataFrame, text_col: str, max_passes: int = 3) -> DataFrame:
+def fix_mojibake(
+    df: DataFrame, text_col: str, max_passes: int = 3,
+    assume_deterministic: bool = True,
+) -> DataFrame:
     """Repair UTF-8-decoded-as-Latin-1 mojibake ('cafÃ©' -> 'café'),
     the single most common web-crawl encoding defect (the ftfy
     heuristic): re-encode the text as Latin-1 and, iff the bytes
@@ -336,8 +362,12 @@ def fix_mojibake(df: DataFrame, text_col: str, max_passes: int = 3) -> DataFrame
     mojibake indicator pair (a pure-Catalyst rlike) — the gate is a
     filter/union split (see normalize_unicode: a CASE WHEN around a
     Python UDF still evaluates it for every row), so clean ASCII
-    and clean non-ASCII text never leave the JVM.  Zero shuffle."""
+    and clean non-ASCII text never leave the JVM.  Zero shuffle.
+    Non-deterministic upstream: pass assume_deterministic=False
+    (see _stable_for_split)."""
     from pyspark.sql.functions import pandas_udf
+
+    df = _stable_for_split(df, assume_deterministic)
 
     def _fix_one(x):
         for _ in range(max_passes):

@@ -502,7 +502,13 @@ def _est_card(t, stats: dict) -> int:
     total = sum(stats.values()) or 1
     _, p, _ = t
     if isinstance(p, str) and not _is_var(p):
-        b = _path_bounds(p, 10)
+        # a malformed quantifier (e.g. '{0}', hi<1) must surface as
+        # a syntax error from the EXECUTION path, not a ValueError
+        # out of this ordering key — estimate as whole-store instead
+        try:
+            b = _path_bounds(p, 10)
+        except ValueError:
+            return total
         base = b[0] if b is not None else p
         return stats.get(base, 0)
     return total

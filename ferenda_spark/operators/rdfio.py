@@ -184,7 +184,9 @@ def _skolemize(term: Column, scope: Column) -> Column:
     )
 
 
-def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
+def parse_ntriples(
+    lines: DataFrame, col: str = "value", scope: str | None = None
+) -> DataFrame:
     """N-Triples lines -> (subj, pred, obj, obj_is_uri, lang,
     datatype) — the bulk-load direction (reference
     triplestore.py add_serialized_file).  Pure regexp_extract +
@@ -194,10 +196,35 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
     never become fabricated empty literals — are dropped too (the
     full-line match validates every term shape), mirroring a lenient
     bulk loader.  Blank-node subjects/objects are skolemized to
-    ``urn:bnode:<filehash>:<label>`` IRIs (see _skolemize)."""
+    ``urn:bnode:<scope>:<label>`` IRIs (see _skolemize).
+
+    Skolem scope: for file sources, md5(input_file_name()) — bnode
+    labels are file-scoped in the grammar.  For NON-file sources
+    (in-memory DataFrames, some streaming sources)
+    input_file_name() is '' for every row, which would alias labels
+    from distinct logical documents; there the caller must pass
+    ``scope`` (either the name of an existing column carrying a
+    per-document scope, or any constant string identifying this
+    load).  Without it the empty-file-name fallback scope is the
+    constant ``mem``: the no-aliasing guarantee weakens to per-LOAD
+    (labels from distinct documents in ONE memory-sourced load can
+    still alias) — pass ``scope`` when that matters."""
+    if scope is not None:
+        scope_col = (
+            F.col(scope).cast("string")
+            if scope in lines.columns
+            else F.lit(scope)
+        )
+    else:
+        # input_file_name() is '' for non-file sources; fall back to
+        # a per-load marker so distinct loads never alias even then
+        fn = F.input_file_name()
+        scope_col = F.when(
+            fn != "", F.substring(F.md5(fn), 1, 8)
+        ).otherwise(F.lit("mem"))
     src = lines.select(
         F.col(col).alias("_l"),
-        F.substring(F.md5(F.input_file_name()), 1, 8).alias("_scope"),
+        scope_col.alias("_scope"),
     )
     src = src.filter(
         (F.trim("_l") != "") & ~F.trim("_l").startswith("#")

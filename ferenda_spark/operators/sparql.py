@@ -145,6 +145,15 @@ def _tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall("\n".join(lines))
 
 
+def _sql_str(val: str) -> str:
+    """Escape a python string for inlining into a Spark SQL string
+    literal.  Backslash FIRST (Spark's parser treats ``\\`` as an
+    escape introducer inside string literals, so a bare backslash
+    in e.g. sameTerm(?x, "a\\b") would silently re-interpret), then
+    standard quote doubling."""
+    return val.replace("\\", "\\\\").replace("'", "''")
+
+
 def _resolve(term: str, prefixes: dict[str, str]) -> str:
     """One token -> engine term (``?var`` kept, IRIs/literals
     resolved to plain strings — graphquery matches on the string)."""
@@ -702,17 +711,17 @@ def _term_meta(tok: str, prefixes: dict) -> tuple[str, str, str, str]:
         m = re.fullmatch(r'("(?:[^"\\]|\\.)*")(@[A-Za-z0-9-]+|\^\^\S+)?', tok)
         if not m:
             raise SparqlSyntaxError(f"cannot parse literal {tok!r}")
-        val = _resolve(m.group(1), prefixes).replace("'", "''")
+        val = _sql_str(_resolve(m.group(1), prefixes))
         tag = m.group(2)
         lang = tag[1:] if tag and tag.startswith("@") else ""
         dt = (
-            _resolve(tag[2:], prefixes).replace("'", "''")
+            _sql_str(_resolve(tag[2:], prefixes))
             if tag and tag.startswith("^^")
             else ""
         )
         return (f"'{val}'", "false", f"'{lang}'", f"'{dt}'")
     if tok.startswith("<") or ":" in tok:
-        val = _resolve(tok, prefixes).replace("'", "''")
+        val = _sql_str(_resolve(tok, prefixes))
         return (f"'{val}'", "true", "''", "''")
     raise SparqlSyntaxError(f"sameTerm operand {tok!r} is not a term")
 
@@ -803,7 +812,7 @@ def _agg_sql(a: dict) -> str:
         return f"{func.lower()}({v})"
     if func == "SAMPLE":
         return f"min({v})"
-    sep = a["sep"].replace("'", "''")
+    sep = _sql_str(a["sep"])
     coll = "collect_set" if a["distinct"] else "collect_list"
     return f"array_join(sort_array({coll}({v})), '{sep}')"
 
@@ -908,7 +917,7 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                 raise SparqlSyntaxError(
                     f"invalid REGEX pattern {pat!r}: {e}"
                 ) from e
-            esc = pat.replace("\\", "\\\\").replace("'", "''")
+            esc = _sql_str(pat)
             out.append(f"({v} RLIKE '{esc}')")
             i += 1
             continue
@@ -933,7 +942,7 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
                     'LANGMATCHES needs (LANG(?var), "range")'
                 )
             v = toks[i + 4][1:]
-            rng = _resolve(toks[i + 7], prefixes).lower().replace("'", "''")
+            rng = _sql_str(_resolve(toks[i + 7], prefixes).lower())
             tag = f"lower(coalesce(_lang_{v}, ''))"
             if rng == "*":
                 out.append(f"({tag} != '')")
@@ -983,7 +992,7 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
             ):
                 raise SparqlSyntaxError(f'{t} needs (?var, "separator")')
             v = toks[i + 2][1:]
-            sep = _resolve(toks[i + 4], prefixes).replace("'", "''")
+            sep = _sql_str(_resolve(toks[i + 4], prefixes))
             pos = f"instr({v}, '{sep}')"
             if u == "STRBEFORE":
                 out.append(
@@ -1147,13 +1156,13 @@ def _filter_sql(toks: list[str], prefixes: dict) -> str:
         elif re.fullmatch(r"[<>]=?|!=", t):
             out.append(t)
         elif t.startswith('"'):
-            out.append("'" + _resolve(t, prefixes).replace("'", "''") + "'")
+            out.append("'" + _sql_str(_resolve(t, prefixes)) + "'")
         elif t.startswith("<"):
-            out.append("'" + t[1:-1] + "'")
+            out.append("'" + _sql_str(t[1:-1]) + "'")
         elif re.fullmatch(r"\d+(\.\d+)?", t):
             out.append(t)
         elif ":" in t:  # prefixed IRI used as a comparison constant
-            out.append("'" + _resolve(t, prefixes).replace("'", "''") + "'")
+            out.append("'" + _sql_str(_resolve(t, prefixes)) + "'")
         else:
             raise SparqlSyntaxError(f"unsupported FILTER token {t!r}")
         i += 1

