@@ -232,6 +232,13 @@ def _path_pattern_df(
     URI objects); correct but store-sized, so prefer a ground
     endpoint where the query allows (the reference's isPartOf*
     always has one)."""
+    if _ACTIVE_GRAPH_VAR.get() is not None:
+        # per-graph transitive closure would need graph-keyed hop
+        # joins throughout property_path — an explicit non-goal for
+        # now; fail at compile, never silently cross graphs
+        raise ValueError(
+            "property paths inside GRAPH ?var are not supported"
+        )
     zero = min_hops == 0
     if isinstance(base, str):
         pairs = property_path(triples, base, max(min_hops, 1), max_hops)
@@ -303,6 +310,8 @@ def _nps_scan(triples: DataFrame, fwd, invs) -> DataFrame:
                 F.lit(None).cast("string").alias("lang"),
                 F.lit(None).cast("string").alias("datatype"),
             ]
+        if "graph" in triples.columns:
+            cols.append(F.col("graph"))
         parts.append(sw.select(*cols))
     out = parts[0]
     for pt in parts[1:]:
@@ -310,12 +319,41 @@ def _nps_scan(triples: DataFrame, fwd, invs) -> DataFrame:
     return out
 
 
+#: Active variable-graph binding (GRAPH ?g { ... }): set by the
+#: SPARQL compiler around the subgroup compile, read by _pattern_df.
+#: When set, EVERY pattern scan in the region also binds the store's
+#: `graph` column to this variable — the subsequent shared-variable
+#: joins then enforce the spec's same-graph constraint across the
+#: group's patterns for free (quad-store semantics without touching
+#: the join machinery).  Compile-time only, like _ACTIVE_STATS.
+_ACTIVE_GRAPH_VAR: contextvars.ContextVar = contextvars.ContextVar(
+    "ferenda_graph_var", default=None
+)
+
+
+class use_graph_var:
+    """Scope a GRAPH ?var binding over a compile region."""
+
+    def __init__(self, var: str | None):
+        self.var = var
+        self._tok = None
+
+    def __enter__(self):
+        self._tok = _ACTIVE_GRAPH_VAR.set(self.var)
+        return self
+
+    def __exit__(self, *exc):
+        _ACTIVE_GRAPH_VAR.reset(self._tok)
+
+
 def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFrame:
     """One triple pattern -> (filtered, renamed) scan.  A predicate
     string ending in '+', '*' or '{m,n}' compiles to property_path
     (bounded transitive closure; a zero lower bound includes the
     zero-hop identity); a ("nps", fwd, invs) predicate marker to the
-    negated-property-set scan (binds no predicate variable)."""
+    negated-property-set scan (binds no predicate variable).  Under
+    an active GRAPH ?var region the scan additionally binds the
+    `graph` column to that variable (see _ACTIVE_GRAPH_VAR)."""
     s, p, o = pattern
     bounds = _pred_closure(p, max_path_hops)
     if bounds is not None:
@@ -344,6 +382,15 @@ def _pattern_df(triples: DataFrame, pattern, max_path_hops: int = 3) -> DataFram
                 if "lang" in triples.columns:
                     cols.append(F.col("lang").alias(f"_lang_{v}"))
                     cols.append(F.col("datatype").alias(f"_dt_{v}"))
+    gvar = _ACTIVE_GRAPH_VAR.get()
+    if gvar is not None and "graph" in triples.columns:
+        if gvar in seen:
+            # GRAPH ?g { ?g <p> ?o }: equality constraint, not a
+            # second binding of the same variable
+            df = df.filter(F.col("graph") == F.col(seen[gvar]))
+        else:
+            seen[gvar] = "graph"
+            cols.append(F.col("graph").alias(gvar))
     if not cols:  # fully-ground pattern: existence gate, one row max
         return df.select(F.lit(True).alias("_ground")).limit(1)
     return df.select(*cols)

@@ -99,6 +99,7 @@ not cover rather than guessing.
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 from pyspark.sql import DataFrame
@@ -107,9 +108,18 @@ from ferenda_spark.operators.graphquery import (
     _fold_patterns,
     _join,
     _visible,
+    use_graph_var,
 )
 
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+#: FROM NAMED <g> dataset clauses of the query being compiled:
+#: restrict which graphs a GRAPH ?var may range over (spec §13.2).
+#: Set by run_sparql around compilation, read in _compile_group's
+#: variable-graph branch.  Compile-time only.
+_ACTIVE_FROM_NAMED: contextvars.ContextVar = contextvars.ContextVar(
+    "ferenda_from_named", default=()
+)
 
 _TOKEN_RE = re.compile(
     r"""
@@ -1315,6 +1325,7 @@ def _parse_toks(toks: list[str]) -> dict:
         "template": [],
         "count": False,
         "from_graphs": [],
+        "from_named": [],
         "aggs": [],
         "proj": [],
         "proj_exprs": [],
@@ -1330,10 +1341,16 @@ def _parse_toks(toks: list[str]) -> dict:
         i = _parse_select_head(toks, i, prefixes, out)
         # FROM <g> dataset clauses (documentrepository.facet_query
         # emits one); scoped like GRAPH — a filter on the `graph`
-        # column for multi-graph tables, identity otherwise
+        # column for multi-graph tables, identity otherwise.
+        # FROM NAMED <g> builds the named-graph dataset that
+        # GRAPH ?var ranges over (spec §13.2).
         while toks[i].upper() == "FROM":
-            out["from_graphs"].append(_resolve(toks[i + 1], prefixes))
-            i += 2
+            if toks[i + 1].upper() == "NAMED":
+                out["from_named"].append(_resolve(toks[i + 2], prefixes))
+                i += 3
+            else:
+                out["from_graphs"].append(_resolve(toks[i + 1], prefixes))
+                i += 2
     elif form == "ASK":
         # boolean existence probe; no projection head
         pass
@@ -1924,7 +1941,30 @@ def _compile_group(
         # GRAPH <g> { ... }: scope the store to that graph's rows when
         # the table is multi-graph; a single-graph table IS the
         # default graph, so scoping is the identity (matching the
-        # reference's use of GRAPH purely as context addressing)
+        # reference's use of GRAPH purely as context addressing).
+        # GRAPH ?g { ... }: quad semantics — every pattern scan in the
+        # subgroup also binds the `graph` column to ?g (see
+        # graphquery._ACTIVE_GRAPH_VAR), so the shared-variable joins
+        # enforce same-graph matching and ?g projects like any other
+        # variable.  FROM NAMED <g>... restricts which graphs ?g may
+        # range over (spec §13.2's named-graph dataset).
+        if gterm.startswith("?"):
+            if "graph" not in triples.columns:
+                raise SparqlSyntaxError(
+                    "GRAPH ?var needs a multi-graph store "
+                    "(a `graph` column); this store is single-graph"
+                )
+            scoped = triples
+            named = _ACTIVE_FROM_NAMED.get()
+            if named:
+                scoped = scoped.filter(F.col("graph").isin(list(named)))
+            with use_graph_var(gterm[1:]):
+                sdf, snull = _compile_group(scoped, sub, max_path_hops)
+            if df is None:
+                df, nulls = sdf, snull
+            else:
+                df, nulls = _joined_nulls(df, nulls, sdf, snull)
+            continue
         scoped = (
             triples.filter(F.col("graph") == gterm)
             if "graph" in triples.columns
@@ -2264,7 +2304,11 @@ def _run_sparql(
         triples = triples.filter(F.col("graph").isin(q["from_graphs"]))
     sols, nulls = (None, set())
     if q["where"] is not None:
-        sols, nulls = _compile_group(triples, q["where"], max_path_hops)
+        tok = _ACTIVE_FROM_NAMED.set(tuple(q.get("from_named") or ()))
+        try:
+            sols, nulls = _compile_group(triples, q["where"], max_path_hops)
+        finally:
+            _ACTIVE_FROM_NAMED.reset(tok)
 
     if q["form"] == "DESCRIBE":
         # simple subject description: every store triple whose

@@ -1648,6 +1648,52 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(_kg(spark, sf_dir).triples)
 
 
+def q_kg_graphs(spark, sf_dir):
+    """Named-graph (quad) path end-to-end: per-context triple stats
+    via SPARQL `GRAPH ?g` variable scoping over a multi-graph store.
+    The reference stores each document's triples in its own
+    triplestore CONTEXT named by the document URI (triplestore
+    add_serialized context= — documentrepository relate_triples
+    passes context=doc uri), so the quad store here derives graph =
+    the subject's document root (URI before '#') — a pure
+    projection, no shuffle, and exactly reproducible in SQL.  The
+    GRAPH ?g block binds the graph column in every pattern scan
+    (same-graph joins come free via the shared variable; see
+    graphquery._ACTIVE_GRAPH_VAR), then a grouped aggregate ranks
+    the 20 fattest document contexts.  Constant-GRAPH scoping, FROM
+    NAMED restriction, and CLEAR/DROP GRAPH are covered by
+    tests/test_sparql.py::*graph* and test_update.py."""
+    from ferenda_spark.operators.sparql import run_sparql
+
+    quads = _kg(spark, sf_dir).triples.withColumn(
+        "graph", F.substring_index(F.col("subj"), "#", 1)
+    )
+    return run_sparql(
+        quads,
+        """
+        SELECT ?g (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?parts)
+        WHERE { GRAPH ?g { ?s ?p ?o } }
+        GROUP BY ?g
+        ORDER BY DESC(?n) ?g
+        LIMIT 20
+        """,
+    )
+
+
+def _oracle_kg_graphs() -> str:
+    """Twin: same graph derivation (document root = subject before
+    '#'; DuckDB split_part returns the whole string when '#' is
+    absent, matching substring_index), same set semantics (solutions
+    dedup on the bound variables), same deterministic top-20."""
+    t = _kg_t("triples")
+    return f"""
+WITH t AS (SELECT DISTINCT subj, pred, obj FROM {t}),
+q AS (SELECT split_part(subj, '#', 1) AS g, subj, pred, obj FROM t)
+SELECT g, COUNT(*) AS n, COUNT(DISTINCT subj) AS parts
+FROM q GROUP BY g ORDER BY n DESC, g LIMIT 20
+"""
+
+
 def q_kg_bgp(spark, sf_dir):
     """SPARQL basic-graph-pattern SELECT compiled to DataFrame
     joins (graphquery.bgp — the reference's triplestore SELECT,
@@ -2800,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_incremental": q_kg_incremental,
         "kg_ntriples": q_kg_ntriples,
+        "kg_graphs": q_kg_graphs,
         "kg_bgp": q_kg_bgp,
         "kg_paths": q_kg_paths,
         "kg_sparql": q_kg_sparql,
@@ -2932,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "age_rank": ORACLE_AGE_RANK,
         "kg_triples": _oracle_kg_triples(),
         "kg_ntriples": _oracle_kg_ntriples(),
+        "kg_graphs": _oracle_kg_graphs(),
         "kg_bgp": _oracle_kg_bgp(),
         "kg_paths": _oracle_kg_paths(),
         "kg_sparql": ORACLE_KG_SPARQL_TMPL.format(t=_kg_t("triples")),

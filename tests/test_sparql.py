@@ -1750,3 +1750,96 @@ def test_sameterm_unbound_is_error_under_negation(g):
     # d2's unbound ?pub is a type error, NOT a negated false:
     # neither branch keeps it
     assert [r["d"] for r in neg] == []
+
+
+# ----------------------------------------------------- named graphs
+
+
+QUAD_SCHEMA = (
+    "subj string, pred string, obj string, obj_is_uri boolean, "
+    "lang string, datatype string, graph string"
+)
+
+QUAD_ROWS = [
+    ("d1", "title", "Doc One", False, None, None, "g:a"),
+    ("d1", "cites", "d2", True, None, None, "g:a"),
+    ("d2", "title", "Doc Two", False, None, None, "g:b"),
+    ("d2", "cites", "d3", True, None, None, "g:b"),
+    ("d3", "title", "Doc Three", False, None, None, "g:c"),
+    # cross-graph noise: a cites in g:c whose subject's title lives
+    # in g:a — a same-graph join must NOT match these up
+    ("d1", "cites", "d3", True, None, None, "g:c"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(QUAD_ROWS, QUAD_SCHEMA)
+
+
+def test_graph_var_binds_and_aggregates(quads):
+    got = run_sparql(
+        quads,
+        """SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+           GROUP BY ?g ORDER BY ?g""",
+    ).collect()
+    assert [(r["g"], r["n"]) for r in got] == [
+        ("g:a", 2), ("g:b", 2), ("g:c", 2)
+    ]
+
+
+def test_graph_var_same_graph_join(quads):
+    """Both patterns inside one GRAPH ?g block must match within a
+    single graph: d1's g:c cites-row has no g:c title, so only the
+    co-located (title, cites) pairs survive."""
+    got = run_sparql(
+        quads,
+        """SELECT ?g ?s ?o WHERE {
+             GRAPH ?g { ?s <title> ?t . ?s <cites> ?o } } ORDER BY ?s""",
+    ).collect()
+    assert [(r["g"], r["s"], r["o"]) for r in got] == [
+        ("g:a", "d1", "d2"),
+        ("g:b", "d2", "d3"),
+    ]
+
+
+def test_graph_var_joins_outside_block(quads):
+    """?g and ?o flow out of the GRAPH block and join onto a
+    default-graph pattern like any other variables."""
+    got = run_sparql(
+        quads,
+        """SELECT ?g ?o WHERE {
+             GRAPH ?g { ?s <cites> ?o } . ?o <title> ?t
+           } ORDER BY ?g ?o""",
+    ).collect()
+    assert [(r["g"], r["o"]) for r in got] == [
+        ("g:a", "d2"), ("g:b", "d3"), ("g:c", "d3")
+    ]
+
+
+def test_from_named_restricts_graph_var(quads):
+    got = run_sparql(
+        quads,
+        """SELECT ?g ?s FROM NAMED <g:b> WHERE {
+             GRAPH ?g { ?s <title> ?t } }""",
+    ).collect()
+    assert [(r["g"], r["s"]) for r in got] == [("g:b", "d2")]
+
+
+def test_graph_constant_still_scopes(quads):
+    got = run_sparql(
+        quads, "SELECT ?s WHERE { GRAPH <g:a> { ?s <title> ?t } }"
+    ).collect()
+    assert [r["s"] for r in got] == ["d1"]
+
+
+def test_graph_var_single_graph_store_raises(g):
+    with pytest.raises(SparqlSyntaxError, match="multi-graph"):
+        run_sparql(g, "SELECT ?gr WHERE { GRAPH ?gr { ?s ?p ?o } }")
+
+
+def test_graph_var_path_unsupported(quads):
+    with pytest.raises(ValueError, match="property paths"):
+        run_sparql(
+            quads, "SELECT ?g WHERE { GRAPH ?g { ?s <cites>+ ?o } }"
+        ).collect()
