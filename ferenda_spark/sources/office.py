@@ -135,6 +135,31 @@ def _pdf_unescape(s: bytes) -> bytes:
 
 
 def extract_pdf_text(payload: bytes) -> str:
+    """PDF → text with reading order and Unicode.
+
+    Primary path (sources/pdftext.py): a text-operator machine
+    tracks Td/TD/Tm/T* positions so runs order by (column, line, x)
+    — two-column layouts read column-by-column like the reference's
+    pdfanalyze coordinate model (pdfanalyze.py:1-773) — and per-font
+    ToUnicode CMaps decode hex/CID strings, so UTF-16-mapped
+    non-Western PDFs no longer garble.  Any failure in that machine
+    falls back to the flat extractor below (emission order,
+    latin-1), which is also the path for streams with no
+    positioning operators at all."""
+    try:
+        from ferenda_spark.sources.pdftext import (
+            extract_pdf_text_positional,
+        )
+
+        out = extract_pdf_text_positional(payload)
+        if out is not None:
+            return out
+    except Exception:
+        pass  # positional parse failed: flat fallback below
+    return _extract_pdf_text_flat(payload)
+
+
+def _extract_pdf_text_flat(payload: bytes) -> str:
     """Evaluate the text-showing operators of every content stream.
 
     Streams whose dict names FlateDecode are zlib-inflated; undecodable
