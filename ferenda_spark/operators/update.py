@@ -231,18 +231,39 @@ def _delete(store: DataFrame, dels: DataFrame) -> DataFrame:
     )
 
 
-def _insert(store: DataFrame, ins: DataFrame) -> DataFrame:
-    """store ∪ ins with set semantics: dedup the (query-sized) batch,
-    anti-join it against the store, append only the genuinely-new
-    rows.  Inserts target the DEFAULT graph (templates/DATA never
-    carry a graph), so on a multi-graph store the existence probe
-    compares against default-graph rows only — a triple present in a
-    named graph is still added to the default graph, and rows the
-    insert never touched (named-graph copies, extra store columns)
-    are preserved verbatim rather than run through a store-wide
-    dropDuplicates that could collapse or arbitrarily replace them.
-    Plan: the dedup and anti-join shuffle the BATCH; a query-sized
-    batch broadcasts under AQE and the store is never shuffled."""
+def _insert(
+    store: DataFrame, ins: DataFrame, small: bool = False
+) -> DataFrame:
+    """store ∪ ins with set semantics: dedup the (query-sized) batch
+    and append only the genuinely-new rows.  Inserts target the
+    DEFAULT graph (templates/DATA never carry a graph), so on a
+    multi-graph store the existence probe compares against
+    default-graph rows only — a triple present in a named graph is
+    still added to the default graph, and rows the insert never
+    touched (named-graph copies, extra store columns) are preserved
+    verbatim rather than run through a store-wide dropDuplicates
+    that could collapse or arbitrarily replace them.
+
+    Plan — the store must NEVER shuffle for a small insert, and a
+    plain `batch LEFT ANTI store` cannot deliver that: left-anti
+    hash joins only build on the RIGHT side, so the huge store can
+    never be the broadcast side and both sides sort-merge-shuffle.
+    Instead the existence probe runs store-side-out:
+
+      hits = store LEFT SEMI batch   (right side batch: broadcast,
+                                      store is scan-only)
+      new  = batch LEFT ANTI hits    (hits ≤ |batch| rows: broadcast)
+
+    so a 3-row INSERT DATA against a 10^12-triple store is two
+    broadcast joins over one store scan, zero store shuffles.  The
+    dedup shuffles only the BATCH.
+
+    `small=True` (INSERT DATA: the batch is a parsed ground-quad
+    list, bounded by the update text itself) adds explicit broadcast
+    hints; template inserts leave the decision to AQE, which
+    broadcasts the semi/anti RIGHT sides at runtime when their
+    observed size allows — the join ORDER above is what makes that
+    possible in both cases."""
     term_cols = [c for c in _TERM_COLS if c in store.columns]
     batch = _align(ins, store).dropDuplicates(term_cols).alias("d")
     tgt = (
@@ -254,7 +275,16 @@ def _insert(store: DataFrame, ins: DataFrame) -> DataFrame:
     for c in term_cols:
         eq = F.col(f"d.{c}").eqNullSafe(F.col(f"s.{c}"))
         cond = eq if cond is None else cond & eq
-    new_rows = batch.join(tgt.alias("s"), cond, "left_anti")
+    probe = F.broadcast(batch) if small else batch
+    hits = (
+        tgt.alias("s")
+        .join(probe, cond, "left_semi")
+        .select(*[F.col(c).alias(c) for c in store.columns])
+        .alias("s")
+    )
+    new_rows = batch.join(
+        F.broadcast(hits) if small else hits, cond, "left_anti"
+    )
     return store.unionByName(new_rows, allowMissingColumns=True)
 
 
@@ -350,7 +380,7 @@ def _run_update_toks(
                 entries, i = _parse_quads(toks, i + 3, prefixes, allow_vars=False)
                 qdf = _quads_df(store.sparkSession, entries, store)
                 store = (
-                    _insert(store, qdf) if kw == "INSERT"
+                    _insert(store, qdf, small=True) if kw == "INSERT"
                     else _delete(store, qdf)
                 )
                 continue
