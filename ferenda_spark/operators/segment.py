@@ -34,18 +34,24 @@ SEGMENTS_SCHEMA = T.StructType(
 )
 
 
-def segment_sections(docs: DataFrame) -> DataFrame:
-    """docs(url, lang, extracted_text, ...) -> segments table."""
+def segment_sections(docs: DataFrame, grammar: str = "rfc") -> DataFrame:
+    """docs(url, lang, extracted_text, ...) -> segments table.
+
+    `grammar` names a registered FSM grammar (functions/fsm.GRAMMARS
+    — "rfc" | "statute" | plugin-registered); the name, not the
+    object, crosses into the Arrow workers so the closure stays
+    trivially serializable."""
 
     def run(batches):
         import pandas as pd
 
-        from ferenda_spark.functions.fsm import segment_document
+        from ferenda_spark.functions.fsm import GRAMMARS, segment_document
 
+        gram = GRAMMARS[grammar]
         for pdf in batches:
             rows = []
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["extracted_text"]):
-                meta, sections = segment_document(text or "")
+                meta, sections = segment_document(text or "", gram)
                 docid = meta.get("docid")
                 rows.append(
                     {

@@ -453,6 +453,44 @@ def neardup_pairs(
     )
 
 
+def _kmeans_spherical(smat, n_centroids: int, iters: int, seed: int):
+    """Spherical k-means on a driver-resident sample (cosine metric:
+    rows are L2-normalized, assignment is argmax dot, the mean
+    re-normalizes).  kmeans++-style farthest-first seeding from a
+    seeded RNG; an emptied cluster reseeds to the point worst-served
+    by the others.  O(sample × k × iters) driver work — bounded by
+    construction, never cluster-sized."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    norms = np.linalg.norm(smat, axis=1)
+    norms[norms == 0.0] = 1.0
+    x = smat / norms[:, None]
+    n = len(x)
+    cents = [x[rng.randint(n)]]
+    for _ in range(1, n_centroids):
+        sims = np.max(x @ np.stack(cents).T, axis=1)
+        cents.append(x[int(np.argmin(sims))])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        newc = np.zeros_like(c)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nm = np.linalg.norm(m)
+                newc[j] = m / nm if nm > 0 else c[j]
+            else:
+                worst = int(np.argmin(np.max(x @ c.T, axis=1)))
+                newc[j] = x[worst]
+        if np.allclose(newc, c):
+            c = newc
+            break
+        c = newc
+    return c
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -461,6 +499,10 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train: bool = False,
+    train_sample: int = 10_000,
+    train_iters: int = 10,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the classic coarse-quantizer scale
     path.  Corpus vectors are assigned to their nearest centroid
@@ -469,13 +511,21 @@ def ivf_topk(
     candidate set — the per-query work drops from |corpus| to
     ~|corpus|·n_probe/n_centroids.
 
-    The coarse quantizer is DETERMINISTIC: the `n_centroids`
-    smallest-id corpus vectors serve as centroids.  (k-means would
-    churn across engines/runs; IVF's plan shape — broadcast
-    centroids, one assignment pass, list-bucketed candidate join —
-    is independent of how centroids are picked, and determinism is
-    what makes the DuckDB twin possible.  A trained quantizer drops
-    in by replacing `cents` below.)
+    Two coarse quantizers behind ONE plan shape:
+
+    - default (train=False): DETERMINISTIC — the `n_centroids`
+      smallest-id corpus vectors serve as centroids.  k-means would
+      churn across engines/runs, and determinism is what makes the
+      DuckDB twin possible, so this stays the catalog/oracle path.
+    - train=True: sampled spherical k-means — a DRIVER-BOUNDED loop
+      (≤ train_sample vectors, picked by the md5-of-id order so the
+      sample is itself deterministic; kmeans++-style farthest-first
+      seeding from `seed`; ≤ train_iters Lloyd rounds on the sample
+      only).  The cluster does one extra TakeOrdered for the sample;
+      assignment/probe/re-rank plans are IDENTICAL — the centroid
+      matrix is still just a broadcast.  This is the production
+      quantizer: at 10^12 vectors use n_centroids ≈ √N and the same
+      bounded sample (quality plateaus long before the sample does).
 
     Plan shape: centroid matrix broadcast (n_centroids × dim doubles,
     dimension-sized); assignment = one BLAS argmax per Arrow batch
@@ -490,15 +540,34 @@ def ivf_topk(
     import pandas as pd
     import pyspark.sql.types as T
 
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    cmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    if train:
+        sample_rows = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                _as_double(F.col(vec_col)).alias("v"),
+            )
+            .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+            .limit(int(train_sample))
+            .collect()
+        )
+        smat = np.stack(
+            [np.asarray(r["v"], dtype=np.float64) for r in sample_rows]
+        )
+        cmat = _kmeans_spherical(
+            smat, min(n_centroids, len(smat)), train_iters, seed
+        )
+        cids = np.arange(len(cmat), dtype=np.int64)
+    else:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        cmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
     cnrm = np.linalg.norm(cmat, axis=1)
+    cnrm[cnrm == 0.0] = 1.0
     bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat, cnrm))
 
     schema = T.StructType(

@@ -78,3 +78,74 @@ def test_extract_segment_spark(spark):
     assert d0["meta"]["publisher_name"] == spec0.publisher_name_used
     assert d0["meta"]["docid"] == str(spec0.rfc_num)
     assert GAZETTEER[spec0.publisher_idx]  # sanity: publisher index valid
+
+
+# ----------------------- grammar #2: statute (C6 pluggability proof)
+
+STATUTE_TEXT = """Lag (1998:204) om personuppgifter
+
+1 kap. Allmänna bestämmelser
+
+1 § Syftet med denna lag är att skydda människor.
+
+2 § I denna lag används följande beteckningar.
+
+Detta stycke hör till 2 §.
+
+2 kap. Behandling av personuppgifter
+
+1 § Personuppgifter får behandlas bara om det är lagligt.
+Andra raden av samma paragraf.
+"""
+
+
+def test_statute_grammar_golden_sections():
+    """Second registered grammar, ZERO engine changes: the generic
+    fold (functions/fsm.segment_document) drives grammar-supplied
+    handlers; only data differs from the RFC family (reference
+    precedent: rfc.py:400-425 vs the SFS statute grammar)."""
+    from ferenda_spark.functions.fsm import GRAMMARS, segment_document
+
+    meta, sections = segment_document(STATUTE_TEXT, GRAMMARS["statute"])
+    assert meta["title"] == "Lag (1998:204) om personuppgifter"
+    assert meta["docid"] == "1998:204"
+    got = [(s["ordinal"], s["parent"], s["title"], s["text"]) for s in sections]
+    assert got == [
+        ("1", "", "Allmänna bestämmelser", ""),
+        ("1.1", "1", "1 §", "Syftet med denna lag är att skydda människor."),
+        (
+            "1.2",
+            "1",
+            "2 §",
+            "I denna lag används följande beteckningar. "
+            "Detta stycke hör till 2 §.",
+        ),
+        ("2", "", "Behandling av personuppgifter", ""),
+        (
+            "2.1",
+            "2",
+            "1 §",
+            "Personuppgifter får behandlas bara om det är lagligt. "
+            "Andra raden av samma paragraf.",
+        ),
+    ]
+    # positions are the document order
+    assert [s["pos"] for s in sections] == list(range(5))
+
+
+def test_statute_grammar_through_operator(spark):
+    """The grammar name flows through the mapInPandas operator."""
+    from ferenda_spark.operators.segment import segment_sections
+
+    docs = spark.createDataFrame(
+        [("u:1", "sv", STATUTE_TEXT)], "url string, lang string, extracted_text string"
+    )
+    rows = segment_sections(docs, grammar="statute").collect()
+    secs = sorted(
+        (r.frag_id, r.parent_frag, r.title)
+        for r in rows
+        if r.kind == "section"
+    )
+    assert ("S1.1", "S1", "1 §") in secs and ("S2", "", "Behandling av personuppgifter") in secs
+    doc = [r for r in rows if r.kind == "doc"][0]
+    assert doc.title == "Lag (1998:204) om personuppgifter"

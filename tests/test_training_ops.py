@@ -380,3 +380,46 @@ def test_frame_sample_plan_skips_missing_duration(spark):
         for r in M.frame_sample_plan(media, every_ms=1000).collect()
     )
     assert got == [(1, 0), (1, 1000), (1, 2000)]
+
+
+def test_ivf_trained_quantizer_beats_degenerate_deterministic(spark):
+    """train=True (sampled spherical k-means, VERDICT r3 item 5) must
+    match-or-beat the deterministic first-k-ids quantizer at equal
+    n_probe.  The corpus is built so the deterministic pick is
+    DEGENERATE — the 8 smallest ids all sit in one of 4 well-separated
+    clusters — while k-means recovers the true structure from the
+    sample.  Plan shape is identical either way (broadcast centroid
+    matrix, assignment pass, probe-list equi-join)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, per = 16, 50
+    protos = rng.normal(size=(4, dim)) * 10
+    rows = []
+    vid = 0
+    # ids 0..49: all cluster 0 (the deterministic quantizer's trap)
+    for c in range(4):
+        for _ in range(per):
+            v = protos[c] + rng.normal(size=dim) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") % 50 == 3)  # one per cluster region
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, probes, k=5).collect()
+    }
+
+    def recall(train):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                emb, probes, k=5, n_centroids=8, n_probe=2, train=train
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_det, r_trained = recall(False), recall(True)
+    assert r_trained >= r_det, (r_trained, r_det)
+    assert r_trained >= 0.9, r_trained
