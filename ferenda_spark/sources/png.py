@@ -11,9 +11,9 @@ wrong):
 - 8-bit samples; color types 0 (gray), 2 (RGB), 3 (palette),
   4 (gray+alpha), 6 (RGBA); alpha is composited over white so the
   output is always H×W×3 uint8.
-- non-interlaced only (Adam7 raises ValueError — the fixture/test
-  corpus never interlaces; a scale deployment would pass a PIL-based
-  decode_fn anyway).
+- both interlace methods: none and Adam7 (the seven
+  independently-filtered sub-images unfilter separately and scatter
+  back onto the pass lattice — spec §8.2).
 
 Decode cost is one zlib.decompress plus per-scanline unfiltering:
 filters None/Sub/Up are numpy-vectorized over the row (Sub is a
@@ -102,6 +102,20 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+#: Adam7 pass grid: (x-origin, y-origin, x-stride, y-stride) per
+#: pass, spec §8.2 — each pass is an independently-filtered
+#: sub-image whose pixels scatter back on this lattice
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB.  Raises ValueError on
     anything outside the documented scope (callers drop the row —
@@ -131,11 +145,20 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported bit depth {depth} (only 8)")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported color type {color}")
-    if interlace:
-        raise ValueError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     ch = _CHANNELS[color]
-    stride = width * ch
-    expected = height * (stride + 1)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images
+        passes = [
+            (x0, y0, dx, dy, -(-(width - x0) // dx), -(-(height - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+            if width > x0 and height > y0
+        ]
+        expected = sum(ph * (pw * ch + 1) for *_, pw, ph in passes)
+    else:
+        stride = width * ch
+        expected = height * (stride + 1)
     # bounded inflate: the exact output size is known from IHDR, so
     # cap at expected+1 — a decompression bomb becomes the ordinary
     # size-mismatch ValueError instead of materializing gigabytes
@@ -146,9 +169,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     )
     if raw.size != expected or not (d.eof or d.unconsumed_tail == b""):
         raise ValueError("PNG pixel data size mismatch")
-    px = _unfilter(raw.reshape(height, stride + 1), height, stride, ch).reshape(
-        height, width, ch
-    )
+    if interlace:
+        px = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            pstride = pw * ch
+            size = ph * (pstride + 1)
+            sub = _unfilter(
+                raw[off : off + size].reshape(ph, pstride + 1), ph, pstride, ch
+            ).reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = sub
+            off += size
+    else:
+        px = _unfilter(
+            raw.reshape(height, stride + 1), height, stride, ch
+        ).reshape(height, width, ch)
     if color == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")

@@ -87,12 +87,53 @@ def test_rejects_out_of_scope():
         decode_png(b"JFIF not a png")
     with pytest.raises(ValueError):
         decode_png(good[:40])  # truncated mid-chunk
-    # interlaced: flip the IHDR interlace byte (offset: 8 magic +
-    # 8 hdr + 12th IHDR byte) and re-CRC
+    # declaring Adam7 over non-interlaced-sized pixel data is a
+    # size mismatch (the pass layout needs different byte counts)
     ihdr = bytearray(struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
     bad = PNG_MAGIC + _chunk(b"IHDR", bytes(ihdr)) + good[33:]
     with pytest.raises(ValueError):
         decode_png(bad)
+    # interlace method outside {0,1}
+    ihdr2 = bytearray(struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
+    bad2 = PNG_MAGIC + _chunk(b"IHDR", bytes(ihdr2)) + good[33:]
+    with pytest.raises(ValueError):
+        decode_png(bad2)
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_adam7(img: np.ndarray) -> bytes:
+    """Test-side Adam7 RGB encoder: seven filter-0 sub-images in
+    pass order — independent of the decoder under test."""
+    h, w, _ = img.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        if w <= x0 or h <= y0:
+            continue
+        sub = img[y0::dy, x0::dx]
+        for row in sub:
+            raw += b"\x00" + row.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (9, 13), (3, 2), (1, 1), (16, 5)])
+def test_adam7_roundtrip(dims):
+    """Adam7 decode reconstructs the exact pixels for sizes that
+    exercise full, partial and empty passes (spec §8.2)."""
+    h, w = dims
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_encode_adam7(img)), img)
 
 
 def test_resize_images_real_png_path(spark):
