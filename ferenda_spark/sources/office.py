@@ -27,8 +27,11 @@ ship here, built only on the stdlib:
   scanned/OCR PDFs needed `tesseract` even in the reference
   (pdfreader.py:213-330) and keep that external seam.
 
-Legacy binary .doc (antiword's job) still raises — the honest seam
-for an external tool this container does not ship.
+Legacy binary .doc (antiword's job in the reference) now decodes
+for real too: sources/doc.py reads the [MS-CFB] compound container
+and walks the [MS-DOC] FIB/piece table (compressed-CP1252 and
+UTF-16LE pieces, fast-saved scatter, field-instruction stripping).
+Encrypted or corrupt .doc raises ValueError (row drops as corrupt).
 """
 
 from __future__ import annotations
@@ -207,11 +210,13 @@ def decode_office(payload: bytes) -> tuple[str, str | None]:
     if ft == "pdf":
         return ft, extract_pdf_text(payload)
     if ft == "doc":
-        raise NotImplementedError(
-            "legacy binary .doc needs the external antiword tool "
-            "(wordreader.py:72-110); convert upstream or plug a "
-            "decode_fn into read_office"
-        )
+        # real [MS-CFB]+[MS-DOC] piece-table extraction
+        # (sources/doc.py) — the antiword seam (wordreader.py:72-110)
+        # is retired for unencrypted Word 97-2003 files; encrypted /
+        # corrupt documents raise ValueError (row drops as corrupt)
+        from ferenda_spark.sources.doc import extract_doc_text
+
+        return ft, extract_doc_text(payload)
     return ft, None
 
 

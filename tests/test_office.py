@@ -77,8 +77,10 @@ def test_pdf_text(compress):
     assert "octal: AB" in text
 
 
-def test_legacy_doc_raises():
-    with pytest.raises(NotImplementedError):
+def test_truncated_cfb_is_valueerror():
+    """Garbage after the OLE magic is a corrupt container (row
+    drops), not a crash or a NotImplementedError."""
+    with pytest.raises(ValueError):
         decode_office(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1rest")
 
 
@@ -95,8 +97,8 @@ def test_read_office_operator(spark):
     out = {r["id"]: r for r in read_office(media).collect()}
     assert out[0]["filetype"] == "docx" and "Hello World" in out[0]["text"]
     assert out[1]["filetype"] == "pdf" and "Hello (PDF) World" in out[1]["text"]
-    # legacy .doc: survives as NULL text, batch does not fail
-    assert out[2]["filetype"] == "doc" and out[2]["text"] is None
+    # truncated CFB container: marked corrupt, batch does not fail
+    assert out[2]["filetype"] == "corrupt" and out[2]["text"] is None
     assert out[3]["filetype"] == "empty" and out[3]["n_chars"] == 0
     assert out[4]["filetype"] == "unknown"
     assert out[5]["filetype"] == "corrupt" and out[5]["text"] is None
