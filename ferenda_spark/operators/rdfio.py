@@ -97,10 +97,14 @@ def ntriples_line(
     obj_is_uri: Column,
     lang: Column,
     datatype: Column,
+    graph: Column | None = None,
 ) -> Column:
     """One N-Triples line per triple.  Literal objects get a
     language tag OR a datatype IRI (RDF terms carry at most one;
-    lang wins if both are somehow set, matching rdflib)."""
+    lang wins if both are somehow set, matching rdflib).  With a
+    `graph` column the line becomes N-Quads: the graph IRI is the
+    fourth term when set, and a NULL/empty graph (default-graph
+    statement) keeps the plain triple line (spec §2)."""
     tag = (
         F.when(lang.isNotNull() & (lang != ""), F.concat(F.lit("@"), lang))
         .when(
@@ -112,8 +116,17 @@ def ntriples_line(
     obj_term = F.when(obj_is_uri, F.concat(F.lit("<"), obj, F.lit(">"))).otherwise(
         F.concat(F.lit('"'), escape_literal(obj), F.lit('"'), tag)
     )
+    gterm = (
+        F.when(
+            graph.isNotNull() & (graph != ""),
+            F.concat(F.lit(" <"), graph, F.lit(">")),
+        ).otherwise(F.lit(""))
+        if graph is not None
+        else F.lit("")
+    )
     return F.concat(
-        F.lit("<"), subj, F.lit("> <"), pred, F.lit("> "), obj_term, F.lit(" .")
+        F.lit("<"), subj, F.lit("> <"), pred, F.lit("> "), obj_term,
+        gterm, F.lit(" ."),
     )
 
 
@@ -134,6 +147,40 @@ def to_ntriples(triples: DataFrame, distinct: bool = True) -> DataFrame:
         ).alias("line")
     )
     return out.distinct() if distinct else out
+
+
+def to_nquads(quads: DataFrame, distinct: bool = True) -> DataFrame:
+    """Multi-graph store -> N-Quads lines: the triple line plus the
+    graph IRI as the fourth term; rows with a NULL/empty graph are
+    DEFAULT-graph statements and serialize without a graph label
+    (N-Quads spec §2 — a default-graph quad line IS an N-Triples
+    line).  Same pure-Catalyst projection + optional set-semantics
+    dedup as to_ntriples; pairs with the `graph` column the quad
+    query path (sparql GRAPH ?var / kg_graphs) reads."""
+    if "graph" not in quads.columns:
+        raise ValueError("to_nquads needs a `graph` column (see to_ntriples)")
+    lang = quads["lang"] if "lang" in quads.columns else F.lit(None)
+    dt = quads["datatype"] if "datatype" in quads.columns else F.lit(None)
+    out = quads.select(
+        ntriples_line(
+            quads["subj"], quads["pred"], quads["obj"],
+            quads["obj_is_uri"], lang, dt, graph=quads["graph"],
+        ).alias("line")
+    )
+    return out.distinct() if distinct else out
+
+
+def parse_nquads(
+    lines: DataFrame, col: str = "value", scope: str | None = None
+) -> DataFrame:
+    """N-Quads lines -> the quad schema (triples columns + `graph`,
+    NULL for default-graph lines — a quad line without a graph label
+    IS an N-Triples line, spec §2).  Same lenient drop-malformed
+    contract, skolemization and scope rules as parse_ntriples; the
+    graph label must be an IRI (blank-node graph labels are out of
+    scope, as in the engine's stores).  Still one scan + projection,
+    no shuffle."""
+    return _parse_lines(lines, col, scope, _QLINE_RE, with_graph=True)
 
 
 def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None) -> None:
@@ -165,6 +212,11 @@ _OBJ_TERM = (
 #: term, dot.  Tolerates leading/trailing whitespace and \r (dumps
 #: from CRLF systems); comment and blank lines are filtered first.
 _LINE_RE = rf"^\s*(<[^>]*>|{_BNODE})\s+<([^>]*)>\s+({_OBJ_TERM})\s*\.\s*$"
+#: N-Quads line: same shape plus an OPTIONAL graph IRI as term 4
+_QLINE_RE = (
+    rf"^\s*(<[^>]*>|{_BNODE})\s+<([^>]*)>\s+({_OBJ_TERM})"
+    r"(?:\s+<([^>]*)>)?\s*\.\s*$"
+)
 #: object-term shapes
 _OBJ_URI_RE = r"^<(.*)>$"
 _OBJ_LIT_RE = r'^"((?:[^"\\]|\\.)*)"'
@@ -209,6 +261,19 @@ def parse_ntriples(
     constant ``mem``: the no-aliasing guarantee weakens to per-LOAD
     (labels from distinct documents in ONE memory-sourced load can
     still alias) — pass ``scope`` when that matters."""
+    return _parse_lines(lines, col, scope, _LINE_RE, with_graph=False)
+
+
+def _parse_lines(
+    lines: DataFrame,
+    col: str,
+    scope: str | None,
+    line_re: str,
+    with_graph: bool,
+) -> DataFrame:
+    """Shared N-Triples / N-Quads line parser (see parse_ntriples
+    for the contract; parse_nquads adds the optional graph term as
+    match group 4)."""
     if scope is not None:
         scope_col = (
             F.col(scope).cast("string")
@@ -228,22 +293,22 @@ def parse_ntriples(
     )
     src = src.filter(
         (F.trim("_l") != "") & ~F.trim("_l").startswith("#")
-        & F.col("_l").rlike(_LINE_RE)
+        & F.col("_l").rlike(line_re)
     )
-    subj_term = F.regexp_extract("_l", _LINE_RE, 1)
-    obj_term = F.regexp_extract("_l", _LINE_RE, 3)
+    subj_term = F.regexp_extract("_l", line_re, 1)
+    obj_term = F.regexp_extract("_l", line_re, 3)
     is_uri = obj_term.startswith("<")
     is_bnode = obj_term.startswith("_:")
     lang = F.regexp_extract(obj_term, _OBJ_LANG_RE, 1)
     dt = F.regexp_extract(obj_term, _OBJ_DT_RE, 1)
-    return src.select(
+    cols = [
         F.when(
             subj_term.startswith("_:"),
             _skolemize(subj_term, F.col("_scope")),
         )
         .otherwise(F.regexp_extract(subj_term, _OBJ_URI_RE, 1))
         .alias("subj"),
-        F.regexp_extract("_l", _LINE_RE, 2).alias("pred"),
+        F.regexp_extract("_l", line_re, 2).alias("pred"),
         F.when(is_uri, F.regexp_extract(obj_term, _OBJ_URI_RE, 1))
         .when(is_bnode, _skolemize(obj_term, F.col("_scope")))
         .otherwise(unescape_literal(F.regexp_extract(obj_term, _OBJ_LIT_RE, 1)))
@@ -251,9 +316,27 @@ def parse_ntriples(
         (is_uri | is_bnode).alias("obj_is_uri"),
         F.when(lang != "", lang).alias("lang"),
         F.when(dt != "", dt).alias("datatype"),
-    )
+    ]
+    if with_graph:
+        g = F.regexp_extract("_l", line_re, 4)
+        cols.append(F.when(g != "", g).alias("graph"))
+    return src.select(*cols)
 
 
 def read_ntriples(spark, path: str) -> DataFrame:
     """spark.read.text + parse: the distributed bulk-load entry."""
     return parse_ntriples(spark.read.text(path), "value")
+
+
+def read_nquads(spark, path: str) -> DataFrame:
+    """The multi-graph bulk-load entry (quad schema out)."""
+    return parse_nquads(spark.read.text(path), "value")
+
+
+def write_nquads(quads: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Dump a multi-graph store as an N-Quads file tree (see
+    write_ntriples — same codegen'd projection, text sink bound)."""
+    lines = to_nquads(quads)
+    if partitions:
+        lines = lines.repartition(partitions)
+    lines.write.mode("overwrite").text(path)

@@ -223,3 +223,60 @@ def test_parse_escaped_single_quote(spark):
     )
     got = parse_ntriples(lines).collect()
     assert got[0]["obj"] == "it's"
+
+
+# ------------------------------------------------------------ N-Quads
+
+
+def test_nquads_roundtrip(spark, tmp_path):
+    """Quad store -> .nq file tree -> quad store: bit-exact terms,
+    NULL graph for default-graph lines both directions."""
+    from ferenda_spark.operators.rdfio import read_nquads, write_nquads
+
+    rows = [
+        ("u:s1", "u:p", "u:o", True, None, None, "u:g1"),
+        ("u:s1", "u:p", 'lit "q" \\ tab\t', False, "en", None, "u:g2"),
+        ("u:s2", "u:p", "typed", False, None, "u:dt", None),  # default graph
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string, graph string",
+    )
+    path = str(tmp_path / "dump.nq")
+    write_nquads(quads, path)
+    back = read_nquads(spark, path)
+    want = {tuple(r) for r in quads.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+
+
+def test_nquads_default_graph_line_is_ntriples(spark):
+    from ferenda_spark.operators.rdfio import parse_nquads, to_nquads
+
+    quads = spark.createDataFrame(
+        [("u:s", "u:p", "u:o", True, None, None, None)],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "lang string, datatype string, graph string",
+    )
+    [line] = [r["line"] for r in to_nquads(quads).collect()]
+    assert line == "<u:s> <u:p> <u:o> ."
+    # and a labeled line parses its graph back out
+    lines = spark.createDataFrame(
+        [("<a> <p> \"x\"@sv <g> .",), ("<a> <p> <b> .",),
+         ("<a> <p> <b> garbage .",)],  # malformed tail: drop
+        ["value"],
+    )
+    got = {(r["subj"], r["obj"], r["graph"]) for r in parse_nquads(lines).collect()}
+    assert got == {("a", "x", "g"), ("a", "b", None)}
+
+
+def test_to_nquads_requires_graph_column(spark):
+    from ferenda_spark.operators.rdfio import to_nquads
+
+    t = spark.createDataFrame(
+        [("s", "p", "o", True)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    with pytest.raises(ValueError, match="graph"):
+        to_nquads(t)
