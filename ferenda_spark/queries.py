@@ -1648,6 +1648,35 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(_kg(spark, sf_dir).triples)
 
 
+def q_kg_turtle(spark, sf_dir):
+    """Distributed Turtle round-trip: serialize the KG as
+    self-contained Turtle blocks (operators/turtle.to_turtle — two
+    partial-agg shuffles + codegen'd string work, full IRIs so
+    every block is its own valid document) and parse them straight
+    back (one mapInPandas, a full-grammar recursive-descent parser
+    per block).  Returned triples must equal the store exactly —
+    the write→read identity the reference gets from rdflib's
+    turtle serializer/parser pair (devel.py dumpstore / ontology
+    loading via resourceloader), re-expressed as a per-file
+    parallel Spark job.  The oracle is the committed fixture
+    itself: any serializer OR parser defect breaks the equality."""
+    from ferenda_spark.operators.turtle import parse_turtle_docs, to_turtle
+
+    blocks = to_turtle(_kg(spark, sf_dir).triples)
+    return parse_turtle_docs(blocks, "block").dropDuplicates(
+        ["subj", "pred", "obj", "lang", "datatype"]
+    )
+
+
+def _oracle_kg_turtle() -> str:
+    """Twin: the round-trip is an identity over the distinct triple
+    set, so the oracle is simply the fixture's distinct triples."""
+    return f"""
+SELECT DISTINCT subj, pred, obj, obj_is_uri, lang, datatype
+FROM {_kg_t("triples")}
+"""
+
+
 def q_kg_graphs(spark, sf_dir):
     """Named-graph (quad) path end-to-end: per-context triple stats
     via SPARQL `GRAPH ?g` variable scoping over a multi-graph store.
@@ -2846,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_incremental": q_kg_incremental,
         "kg_ntriples": q_kg_ntriples,
+        "kg_turtle": q_kg_turtle,
         "kg_graphs": q_kg_graphs,
         "kg_bgp": q_kg_bgp,
         "kg_paths": q_kg_paths,
@@ -2979,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "age_rank": ORACLE_AGE_RANK,
         "kg_triples": _oracle_kg_triples(),
         "kg_ntriples": _oracle_kg_ntriples(),
+        "kg_turtle": _oracle_kg_turtle(),
         "kg_graphs": _oracle_kg_graphs(),
         "kg_bgp": _oracle_kg_bgp(),
         "kg_paths": _oracle_kg_paths(),
