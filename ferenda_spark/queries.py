@@ -1677,6 +1677,35 @@ FROM {_kg_t("triples")}
 """
 
 
+def q_kg_rdfxml(spark, sf_dir):
+    """Distributed RDF/XML round-trip: serialize the KG as
+    self-contained rdf:Description blocks (operators/rdfxml
+    .to_rdfxml — one partial-agg shuffle + codegen'd XML escaping)
+    and parse them back (one mapInPandas, stdlib ElementTree per
+    block).  RDF/XML is the reference's *distilled* per-document
+    metadata format (distilled/{basefile}.rdf, written by rdflib
+    serialize(format="xml") at documentrepository.py:2729-2732 and
+    read back at :2052), so write→read identity over the full KG is
+    exactly the contract the reference relies on.  Oracle = the
+    committed fixture's distinct triples; any serializer or parser
+    defect breaks the equality."""
+    from ferenda_spark.operators.rdfxml import parse_rdfxml_docs, to_rdfxml
+
+    blocks = to_rdfxml(_kg(spark, sf_dir).triples)
+    return parse_rdfxml_docs(blocks, "block").dropDuplicates(
+        ["subj", "pred", "obj", "lang", "datatype"]
+    )
+
+
+def _oracle_kg_rdfxml() -> str:
+    """Twin: identity over the distinct triple set (see
+    _oracle_kg_turtle)."""
+    return f"""
+SELECT DISTINCT subj, pred, obj, obj_is_uri, lang, datatype
+FROM {_kg_t("triples")}
+"""
+
+
 def q_kg_graphs(spark, sf_dir):
     """Named-graph (quad) path end-to-end: per-context triple stats
     via SPARQL `GRAPH ?g` variable scoping over a multi-graph store.
@@ -2876,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental": q_kg_incremental,
         "kg_ntriples": q_kg_ntriples,
         "kg_turtle": q_kg_turtle,
+        "kg_rdfxml": q_kg_rdfxml,
         "kg_graphs": q_kg_graphs,
         "kg_bgp": q_kg_bgp,
         "kg_paths": q_kg_paths,
@@ -2905,7 +2935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
-        "dup_span_cut": q_dup_span_cut,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -2927,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the observed driver window: selection/relational
         # twins (plans subsumed above; selfcheck + pytest guarded)
         "dup_spans": q_dup_spans,
+        "dup_span_cut": q_dup_span_cut,
         "search_facets": q_search_facets,
         "search_parentchild": q_search_parentchild,
         "crawl_windows": q_crawl_windows,
@@ -3010,6 +3040,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _oracle_kg_triples(),
         "kg_ntriples": _oracle_kg_ntriples(),
         "kg_turtle": _oracle_kg_turtle(),
+        "kg_rdfxml": _oracle_kg_rdfxml(),
         "kg_graphs": _oracle_kg_graphs(),
         "kg_bgp": _oracle_kg_bgp(),
         "kg_paths": _oracle_kg_paths(),
