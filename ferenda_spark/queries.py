@@ -1706,6 +1706,36 @@ FROM {_kg_t("triples")}
 """
 
 
+def q_kg_rdfa(spark, sf_dir):
+    """XHTML+RDFa render → distill round-trip over the full KG —
+    the reference's T3 self-check (render_xhtml_tree head RDFa,
+    documentrepository.py:1522-1708; render-decorator re-parse,
+    decorators.py:201-227) as an actual distributed computation:
+    one XHTML document per document root (pure-Catalyst render, one
+    groupBy(doc) aggregation), one ElementTree RDFa walk per
+    document (mapInPandas), and the distilled triple set must equal
+    the store.  Oracle = the committed fixture's distinct triples;
+    a defect in either direction (escaping, about-scoping, lang
+    inheritance, CURIE expansion) breaks the equality."""
+    from ferenda_spark.operators.rdfa import distill_rdfa, render_rdfa
+    from ferenda_spark.config import NS
+
+    prefixes = {"dct": NS["dcterms"], "bibo": NS["bibo"], "rfc": NS["rfc"]}
+    docs = render_rdfa(_kg(spark, sf_dir).triples, prefixes)
+    return distill_rdfa(docs, "xhtml").dropDuplicates(
+        ["subj", "pred", "obj", "lang", "datatype"]
+    )
+
+
+def _oracle_kg_rdfa() -> str:
+    """Twin: identity over the distinct triple set (see
+    _oracle_kg_turtle)."""
+    return f"""
+SELECT DISTINCT subj, pred, obj, obj_is_uri, lang, datatype
+FROM {_kg_t("triples")}
+"""
+
+
 def q_kg_graphs(spark, sf_dir):
     """Named-graph (quad) path end-to-end: per-context triple stats
     via SPARQL `GRAPH ?g` variable scoping over a multi-graph store.
@@ -2906,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples": q_kg_ntriples,
         "kg_turtle": q_kg_turtle,
         "kg_rdfxml": q_kg_rdfxml,
+        "kg_rdfa": q_kg_rdfa,
         "kg_graphs": q_kg_graphs,
         "kg_bgp": q_kg_bgp,
         "kg_paths": q_kg_paths,
@@ -2947,7 +2978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "clean_lines": q_clean_lines,
         "pack_plan": q_pack_plan,
-        "weighted_sample": q_weighted_sample,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2957,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins (plans subsumed above; selfcheck + pytest guarded)
         "dup_spans": q_dup_spans,
         "dup_span_cut": q_dup_span_cut,
+        "weighted_sample": q_weighted_sample,
         "search_facets": q_search_facets,
         "search_parentchild": q_search_parentchild,
         "crawl_windows": q_crawl_windows,
@@ -3041,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples": _oracle_kg_ntriples(),
         "kg_turtle": _oracle_kg_turtle(),
         "kg_rdfxml": _oracle_kg_rdfxml(),
+        "kg_rdfa": _oracle_kg_rdfa(),
         "kg_graphs": _oracle_kg_graphs(),
         "kg_bgp": _oracle_kg_bgp(),
         "kg_paths": _oracle_kg_paths(),
