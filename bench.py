@@ -64,6 +64,9 @@ HEADLINE = [
     "search_parentchild",
     "crawl_windows",
     "kg_ntriples",
+    "kg_turtle",
+    "kg_rdfxml",
+    "kg_rdfa",
     "kg_bgp",
     "kg_paths",
     "kg_sparql",
