@@ -191,6 +191,92 @@ def page_width(payload: bytes) -> float:
         return 612.0
 
 
+def page_height(payload: bytes) -> float:
+    m = _MEDIABOX_RE.search(payload)
+    if not m:
+        return 792.0
+    try:
+        return float(m.group(4)) - float(m.group(2))
+    except ValueError:
+        return 792.0
+
+
+# ------------------------------------------------- margin analysis
+
+#: char-share thresholds for the header/footer zones — the
+#: reference's defaults (pdfanalyze.py:38,47: at most 0.2% of the
+#: document's characters may sit in each zone)
+HEADER_THRESHOLD = 0.002
+FOOTER_THRESHOLD = 0.002
+
+
+def margin_metrics(
+    pages: list[list["Run"]], page_w: float, page_h: float
+) -> dict:
+    """pdfanalyze.metrics() analog over the positional runs:
+    char-count-weighted coordinate histograms -> probable header /
+    footer zones (cumulate from each vertical extreme until the
+    char share passes the significance threshold —
+    analyze_vertical_margins, pdfanalyze.py:400-424) and the
+    most-common left/right text edges (analyze_horizontal_margins,
+    :427-446).  Coordinates top-down like the reference's; PDF y is
+    flipped via the page height."""
+    from collections import Counter
+
+    top: Counter = Counter()
+    left: Counter = Counter()
+    right: Counter = Counter()
+    total = 0
+    for runs in pages:
+        for r in runs:
+            n = len(r.text.strip())
+            if not n:
+                continue
+            total += n
+            top[int(page_h - r.y)] += n
+            left[int(r.x)] += n
+            right[int(_est_end(r))] += n
+    out = {"pagewidth": page_w, "pageheight": page_h,
+           "topmargin": 0, "bottommargin": int(page_h)}
+    if not total:
+        return out
+    acc, thr = 0, HEADER_THRESHOLD * total
+    for i in range(int(page_h) + 1):
+        acc += top.get(i, 0)
+        if acc > thr:
+            out["topmargin"] = i - 1
+            break
+    acc, thr = 0, FOOTER_THRESHOLD * total
+    for i in range(int(page_h), -1, -1):
+        acc += top.get(i, 0)
+        if acc > thr:
+            out["bottommargin"] = i + 1
+            break
+    mid = page_w / 2
+    lc = Counter({k: v for k, v in left.items() if k < mid})
+    rc = Counter({k: v for k, v in right.items() if k > mid})
+    if lc:
+        out["leftmargin"] = lc.most_common(1)[0][0]
+    if rc:
+        out["rightmargin"] = rc.most_common(1)[0][0]
+    return out
+
+
+def strip_marginalia(
+    pages: list[list["Run"]], metrics: dict
+) -> list[list["Run"]]:
+    """Drop runs inside the detected header/footer zones (repeating
+    running heads and page numbers) — the consumption side of the
+    reference's topmargin/bottommargin metrics (its pdfreader drops
+    textboxes outside the body zone when metrics are supplied)."""
+    ph = metrics["pageheight"]
+    t, b = metrics["topmargin"], metrics["bottommargin"]
+    return [
+        [r for r in runs if t <= (ph - r.y) <= b]
+        for runs in pages
+    ]
+
+
 # --------------------------------------------------- operator machine
 
 _ESCAPES = {
@@ -451,14 +537,20 @@ def order_runs(runs: list[Run], page_w: float) -> str:
 # ------------------------------------------------------------ facade
 
 
-def extract_pdf_text_positional(payload: bytes) -> str | None:
+def extract_pdf_text_positional(
+    payload: bytes, strip_margins: bool = False
+) -> str | None:
     """Full positional extraction; None when nothing positional was
     found (caller falls back to the flat extractor).  Each content
     stream is one layout unit (≈ page for the dominant
-    one-content-stream-per-page class)."""
+    one-content-stream-per-page class).  With ``strip_margins``,
+    document-level margin metrics (margin_metrics — the pdfanalyze
+    header/footer analysis) are computed first and runs inside the
+    header/footer zones (running heads, page numbers) are dropped
+    before ordering."""
     fonts = document_fonts(payload)
     pw = page_width(payload)
-    pages = []
+    page_runs: list[tuple[list[Run], bool]] = []
     any_positioned = False
     for m in _STREAM_IN_OBJ_RE.finditer(payload):
         body = _inflate(m.group(1), m.group(2))
@@ -468,6 +560,16 @@ def extract_pdf_text_positional(payload: bytes) -> str | None:
         if not runs:
             continue
         any_positioned = any_positioned or positioned
+        page_runs.append((runs, positioned))
+    if strip_margins and any_positioned and len(page_runs) > 1:
+        ph = page_height(payload)
+        metrics = margin_metrics([rs for rs, _ in page_runs], pw, ph)
+        stripped = strip_marginalia([rs for rs, _ in page_runs], metrics)
+        page_runs = [
+            (new, pos) for new, (_, pos) in zip(stripped, page_runs) if new
+        ]
+    pages = []
+    for runs, positioned in page_runs:
         if positioned:
             pages.append(order_runs(runs, pw))
         else:

@@ -234,3 +234,65 @@ def test_pdf_positional_malformed_falls_back():
     """Garbage after %PDF must never raise — worst case the flat
     extractor's empty result comes back."""
     assert extract_pdf_text(b"%PDF-1.4\ngarbage" + b"\xff" * 64) == ""
+
+
+# ----------------------- margin analysis (pdfanalyze.py:400-446 analog)
+
+
+def make_marginalia_pdf(n_pages: int = 4):
+    """Multi-page PDF with a repeating running head (y=770) and page
+    number (y=20) around a body block — char-share numbers chosen so
+    the marginalia stay under the reference's 0.2% significance
+    threshold (header 3 chars/page, footer 1, body 2000)."""
+    body_lines = [("body line %02d " % i) * 5 for i in range(25)]
+    pages = []
+    for p in range(n_pages):
+        ops = [f"BT /F1 8 Tf 280 770 Td (hdr) Tj ET",
+               f"BT /F1 8 Tf 300 20 Td ({p}) Tj ET"]
+        ops += [
+            f"BT /F1 10 Tf 72 {700 - 14 * i} Td ({t}) Tj ET"
+            for i, t in enumerate(body_lines)
+        ]
+        pages.append(_stream_obj(4 + p, "\n".join(ops).encode()))
+    objs = (
+        b"3 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n"
+        + b"".join(pages)
+    )
+    return _wrap_pdf(objs), body_lines
+
+
+def test_pdf_margin_metrics():
+    from ferenda_spark.sources.pdftext import (
+        _STREAM_IN_OBJ_RE,
+        _inflate,
+        document_fonts,
+        interpret_text_ops,
+        margin_metrics,
+    )
+
+    pdf, _ = make_marginalia_pdf()
+    fonts = document_fonts(pdf)
+    pages = []
+    for m in _STREAM_IN_OBJ_RE.finditer(pdf):
+        body = _inflate(m.group(1), m.group(2))
+        runs, _pos = interpret_text_ops(body, fonts)
+        pages.append(runs)
+    met = margin_metrics(pages, 612.0, 792.0)
+    # header at y=770 -> top-down 22; body starts at y=700 -> 92
+    assert 22 <= met["topmargin"] < 92
+    # footer at y=20 -> top-down 772; body ends at y=364 -> 428
+    assert 428 < met["bottommargin"] <= 772
+    assert met["leftmargin"] == 72
+
+
+def test_pdf_strip_marginalia_drops_header_footer():
+    from ferenda_spark.sources.pdftext import extract_pdf_text_positional
+
+    pdf, body_lines = make_marginalia_pdf()
+    kept = extract_pdf_text_positional(pdf)
+    assert "hdr" in kept  # default keeps everything
+    stripped = extract_pdf_text_positional(pdf, strip_margins=True)
+    assert "hdr" not in stripped
+    assert "\n0\n" not in ("\n" + stripped + "\n")  # page numbers gone
+    for t in body_lines:
+        assert t.rstrip() in stripped  # body intact
