@@ -1131,6 +1131,48 @@ PACK_SEQ_LEN = 512
 PACK_SHARD = 100
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity scoring (operators/lm.py): train a
+    corpus bigram model with stupid backoff (two partial-agg count
+    groupBys), score every document's perplexity via count-table
+    joins + one groupBy(doc).  All-integer until the final ln/exp,
+    each addend grid-rounded before the sum so the float aggregate
+    is order-stable — the DuckDB twin reproduces it exactly."""
+    from ferenda_spark.operators.lm import perplexity
+
+    return perplexity(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+ORACLE_LM_PPL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, unnest(list_zip(ts[:-1], ts[2:])) AS p
+  FROM toks WHERE len(ts) >= 2
+),
+dp AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pairs),
+uni AS (SELECT w, COUNT(*) AS uc
+        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+tot AS (SELECT SUM(uc) AS t FROM uni),
+big AS (SELECT w1, w2, COUNT(*) AS bc FROM dp GROUP BY w1, w2),
+scored AS (
+  SELECT dp.doc_id,
+    floor((-ln(CASE WHEN b.bc IS NOT NULL
+                    THEN b.bc / CAST(u1.uc AS DOUBLE)
+                    ELSE 0.4 * u2.uc / CAST(t.t AS DOUBLE) END))
+          * 1e12 + 0.5) / 1e12 AS nll
+  FROM dp LEFT JOIN big b USING (w1, w2)
+    JOIN uni u1 ON dp.w1 = u1.w
+    JOIN uni u2 ON dp.w2 = u2.w, tot t
+)
+SELECT doc_id AS id, COUNT(*) AS n_bigrams,
+  floor(exp(SUM(nll) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_pack_plan(spark, sf_dir):
     """Sequence-packing plan (curation.sequence_pack_plan): concat
     docs in id order, chunk the token stream into 512-token
@@ -2993,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_windows": q_crawl_windows,
         "recrawl_changes": q_recrawl_changes,
         "url_canon": q_url_canon,
+        "lm_perplexity": q_lm_perplexity,
         "host_aggregates": q_host_aggregates,
         "toc_pagesets": q_toc_pagesets,
         "toc_pages": q_toc_pages,
@@ -3052,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": ORACLE_REPETITION,
         "host_split": ORACLE_HOST_SPLIT,
         "host_aggregates": ORACLE_HOST_AGG,
+        "lm_perplexity": ORACLE_LM_PPL,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
