@@ -1173,6 +1173,43 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training surface (operators/bpe.py): round-1 BPE
+    pair counts over the corpus vocabulary — char-pair frequencies
+    weighted by word count, top-50 with deterministic tie-break.
+    The full merge LOOP (learn_bpe: argmax + HOF-fold merge per
+    round) is differentially tested against an independent Python
+    BPE in tests/test_bpe.py; the catalog checks the round the
+    oracle can express in one SQL statement."""
+    from ferenda_spark.operators.bpe import (
+        initial_symbols,
+        pair_counts,
+        word_counts,
+    )
+
+    syms = initial_symbols(word_counts(_t(spark, sf_dir, "documents")))
+    return (
+        pair_counts(syms)
+        .orderBy(F.desc("pc"), "a", "b")
+        .limit(50)
+    )
+
+
+ORACLE_BPE_PAIRS = """
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           FROM documents),
+wc AS (SELECT word, COUNT(*) AS wc FROM w GROUP BY word),
+ex AS (SELECT word, wc, unnest(generate_series(1, len(word))) AS i FROM wc),
+pairs AS (
+  SELECT substr(word, i, 1) AS a,
+         CASE WHEN i = len(word) THEN '</w>'
+              ELSE substr(word, i + 1, 1) END AS b,
+         wc FROM ex)
+SELECT a, b, CAST(SUM(wc) AS BIGINT) AS pc FROM pairs GROUP BY a, b
+ORDER BY pc DESC, a, b LIMIT 50
+"""
+
+
 def q_pack_plan(spark, sf_dir):
     """Sequence-packing plan (curation.sequence_pack_plan): concat
     docs in id order, chunk the token stream into 512-token
@@ -3036,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_changes": q_recrawl_changes,
         "url_canon": q_url_canon,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_pairs": q_bpe_pairs,
         "host_aggregates": q_host_aggregates,
         "toc_pagesets": q_toc_pagesets,
         "toc_pages": q_toc_pages,
@@ -3096,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "host_split": ORACLE_HOST_SPLIT,
         "host_aggregates": ORACLE_HOST_AGG,
         "lm_perplexity": ORACLE_LM_PPL,
+        "bpe_pairs": ORACLE_BPE_PAIRS,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
