@@ -59,6 +59,8 @@ HEADLINE = [
     "fix_mojibake",
     "pack_plan",
     "weighted_sample",
+    "lm_perplexity",
+    "bpe_pairs",
     "search_filters",
     "search_facets",
     "search_parentchild",

@@ -152,16 +152,20 @@ def _fake_rgb_decode(payload: bytes, width: int, height: int):
 
 
 def _default_rgb_decode(payload: bytes, width: int, height: int):
-    """Default resize_images codec: REAL dependency-free PNG decode
-    (magic-sniffed, sources/png.py — zlib inflate + scanline
-    unfilter + alpha composite); deterministic fake for other
-    formats (JPEG etc. need libjpeg — pass a PIL decode_rgb at
-    deployment).  The meta dims are a hint only: real decodes trust
-    the IHDR."""
+    """Default resize_images codec: REAL dependency-free decoders,
+    magic-sniffed — PNG (sources/png.py: zlib inflate + scanline
+    unfilter + alpha composite) and baseline JPEG
+    (sources/jpeg.py: Huffman + dequant + vectorized IDCT +
+    4:2:0/4:2:2 upsample); deterministic fake for other formats
+    (pass a custom decode_rgb at deployment for e.g. WebP).  The
+    meta dims are a hint only: real decodes trust the header."""
+    from ferenda_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ferenda_spark.sources.png import PNG_MAGIC, decode_png
 
     if payload and bytes(payload[:8]) == PNG_MAGIC:
         return decode_png(bytes(payload))
+    if payload and bytes(payload[:3]) == JPEG_MAGIC:
+        return decode_jpeg(bytes(payload))
     return _fake_rgb_decode(payload, width, height)
 
 
