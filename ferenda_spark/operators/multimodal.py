@@ -159,6 +159,7 @@ def _default_rgb_decode(payload: bytes, width: int, height: int):
     4:2:0/4:2:2 upsample); deterministic fake for other formats
     (pass a custom decode_rgb at deployment for e.g. WebP).  The
     meta dims are a hint only: real decodes trust the header."""
+    from ferenda_spark.sources.gif import GIF_MAGICS, decode_gif
     from ferenda_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ferenda_spark.sources.png import PNG_MAGIC, decode_png
 
@@ -166,6 +167,8 @@ def _default_rgb_decode(payload: bytes, width: int, height: int):
         return decode_png(bytes(payload))
     if payload and bytes(payload[:3]) == JPEG_MAGIC:
         return decode_jpeg(bytes(payload))
+    if payload and bytes(payload[:6]) in GIF_MAGICS:
+        return decode_gif(bytes(payload))
     return _fake_rgb_decode(payload, width, height)
 
 
