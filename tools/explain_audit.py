@@ -654,6 +654,94 @@ def main():
         )
     )
 
+    checks.append(
+        (
+            "turtle_serialize",
+            __import__(
+                "ferenda_spark.operators.turtle", fromlist=["to_turtle"]
+            ).to_turtle(
+                catalog._kg(spark, SF).triples,
+                {"dct": "http://purl.org/dc/terms/"},
+            ),
+            [
+                # two keyed aggregations, prefix chain constant-folded
+                ("partial-agg groupBys", lambda p: p.count("HashAggregate") >= 2
+                 or p.count("ObjectHashAggregate") >= 2),
+                # the KG input is cached: Python may appear ONLY
+                # beneath the InMemoryRelation boundary (executed
+                # reads hit the cache, not the build stages)
+                ("no Python above the cache", lambda p:
+                 ("MapInPandas" not in p and "EvalPython" not in p)
+                 or ("InMemoryRelation" in p
+                     and p.index("MapInPandas") > p.index("InMemoryRelation"))),
+            ],
+        )
+    )
+
+    checks.append(
+        (
+            "rdfa_render",
+            __import__(
+                "ferenda_spark.operators.rdfa", fromlist=["render_rdfa"]
+            ).render_rdfa(
+                catalog._kg(spark, SF).triples,
+                {"dct": "http://purl.org/dc/terms/"},
+            ),
+            [
+                ("one doc-keyed aggregation", lambda p: "ObjectHashAggregate" in p
+                 or "SortAggregate" in p or "HashAggregate" in p),
+                ("no Python above the cache", lambda p:
+                 ("MapInPandas" not in p and "EvalPython" not in p)
+                 or ("InMemoryRelation" in p
+                     and p.index("MapInPandas") > p.index("InMemoryRelation"))),
+            ],
+        )
+    )
+
+    checks.append(
+        (
+            "lm_perplexity",
+            catalog.q_lm_perplexity(spark, SF),
+            [
+                # count tables broadcast under AQE at this scale;
+                # scoring tail is one partial-agg groupBy(doc)
+                ("partial aggregates", lambda p: "HashAggregate" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+                ("no cartesian data join", lambda p:
+                 # the 1-row total is an explicit broadcast nested
+                 # loop (formatted output may show it in both the
+                 # initial and final AQE plan); never a cartesian
+                 p.count("BroadcastNestedLoopJoin") <= 2
+                 and "CartesianProduct" not in p),
+            ],
+        )
+    )
+
+    checks.append(
+        (
+            "bpe_round",
+            __import__(
+                "ferenda_spark.operators.bpe", fromlist=["pair_counts"]
+            ).pair_counts(
+                __import__(
+                    "ferenda_spark.operators.bpe", fromlist=["initial_symbols"]
+                ).initial_symbols(
+                    __import__(
+                        "ferenda_spark.operators.bpe", fromlist=["word_counts"]
+                    ).word_counts(
+                        spark.read.parquet(f"{SF}/documents.parquet")
+                    )
+                )
+            ),
+            [
+                ("pair count partial-aggregated", lambda p: "HashAggregate" in p),
+                ("no Python in plan", lambda p: "EvalPython" not in p
+                 and "MapInPandas" not in p),
+            ],
+        )
+    )
+
     out_lines = ["# PLANS — audited physical plans (generated by tools/explain_audit.py)\n"]
     failed = 0
     for name, df, preds in checks:
