@@ -71,10 +71,9 @@ def initial_symbols(words: DataFrame) -> DataFrame:
 def pair_counts(symbols: DataFrame) -> DataFrame:
     """(a, b, pc): adjacent-symbol pair counts weighted by word
     frequency — one explode + one partial-agg groupBy."""
-    pairs = F.expr(
-        "transform(slice(syms, 2, greatest(size(syms) - 1, 0)), "
-        "(x, i) -> struct(syms[i] AS a, x AS b))"
-    )
+    from ferenda_spark.operators.lm import adjacent_pairs_expr
+
+    pairs = F.expr(adjacent_pairs_expr("syms", "a", "b"))
     return (
         symbols.select("wc", F.explode(pairs).alias("p"))
         .groupBy("p.a", "p.b")

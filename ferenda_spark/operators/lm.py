@@ -46,14 +46,21 @@ def _tokens(text_col):
     return F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_RE), 0)
 
 
-#: adjacent-pair structs over a token array column named `ts`:
-#: slice off the first element, then pair each survivor with its
-#: predecessor via the transform index (0-based array brackets) —
-#: empty/1-token arrays yield an empty struct array, no CASE typing
-_PAIRS_EXPR = (
-    "transform(slice(ts, 2, greatest(size(ts) - 1, 0)), "
-    "(x, i) -> struct(ts[i] AS w1, x AS w2))"
-)
+def adjacent_pairs_expr(col: str, f1: str = "w1", f2: str = "w2") -> str:
+    """SQL for adjacent-pair structs over an array column: slice off
+    the first element, then pair each survivor with its predecessor
+    via the transform index (0-based array brackets) — empty and
+    1-element arrays yield an empty struct array, no CASE typing.
+    Shared by the LM bigram builder and the BPE pair counter (the
+    0-based-index/slice interplay is subtle enough to keep in one
+    place)."""
+    return (
+        f"transform(slice({col}, 2, greatest(size({col}) - 1, 0)), "
+        f"(x, i) -> struct({col}[i] AS {f1}, x AS {f2}))"
+    )
+
+
+_PAIRS_EXPR = adjacent_pairs_expr("ts")
 
 
 def train_bigram_counts(

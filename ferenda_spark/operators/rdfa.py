@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-from typing import Iterable, Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -66,7 +65,16 @@ def _attr_escape(col: Column) -> Column:
 
 def _text_escape(col: Column) -> Column:
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
-    return F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    # raw \r in element text is folded to \n by XML line-end
+    # normalization (§2.11); a char ref expands after it and survives
+    return F.replace(out, F.lit("\r"), F.lit("&#13;"))
+
+
+#: C0 controls other than \t\n\r can't appear in XML 1.0 at all
+#: (illegal even as char refs) — fail loudly instead of emitting an
+#: unparseable document
+_XML_ILLEGAL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
 
 
 def _curie(col: Column, prefixes: dict[str, str] | None) -> Column:
@@ -103,7 +111,7 @@ def render_rdfa(
     doc = doc_col if doc_col is not None else F.substring_index(F.col("subj"), "#", 1)
     t = triples.select(
         doc.alias("_doc"), "subj", "pred", "obj", "obj_is_uri", "lang", "datatype"
-    ).dropDuplicates(["_doc", "subj", "pred", "obj", "lang", "datatype"])
+    ).dropDuplicates(["_doc", "subj", "pred", "obj", "obj_is_uri", "lang", "datatype"])
     is_main = F.col("subj") == F.col("_doc")
     about = F.when(
         is_main, F.lit("")
@@ -141,7 +149,25 @@ def render_rdfa(
         F.lit(' href="'), _attr_escape(F.col("obj")), F.lit('"/>'),
     )
     elem = (
-        F.when(is_main & (F.col("pred") == DCT_TITLE) & ~F.col("obj_is_uri"), title)
+        F.when(
+            ~F.col("obj_is_uri") & F.col("obj").rlike(_XML_ILLEGAL),
+            F.raise_error(
+                F.concat(
+                    F.lit("rdfa: literal contains XML-1.0-illegal "
+                          "control characters (subject "),
+                    F.col("subj"), F.lit(")"),
+                )
+            ),
+        )
+        .when(
+            is_main
+            & (F.col("pred") == DCT_TITLE)
+            & ~F.col("obj_is_uri")
+            # a TYPED title can't ride the <title> element (it has
+            # no datatype attribute in our shape) — meta keeps it
+            & F.col("datatype").isNull(),
+            title,
+        )
         .when(F.col("obj_is_uri"), link)
         .otherwise(meta)
     )
@@ -267,20 +293,11 @@ def distill_rdfa_text(text: str) -> list[tuple]:
 
 def distill_rdfa(docs: DataFrame, col: str = "xhtml") -> DataFrame:
     """DataFrame of XHTML+RDFa documents -> triples table, one
-    ElementTree walk per row inside mapInPandas."""
-    import pandas as pd
+    ElementTree walk per row inside mapInPandas (shared wrapper
+    turtle.parse_docs_with; RDFa needs no skolem scope — head
+    metadata carries explicit subjects)."""
+    from ferenda_spark.operators.turtle import parse_docs_with
 
-    src = docs.select(col)
-
-    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows: list[tuple] = []
-            for v in pdf[col]:
-                if v is None:
-                    continue
-                rows.extend(distill_rdfa_text(v))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in TRIPLE_SCHEMA.fields]
-            )
-
-    return src.mapInPandas(run, TRIPLE_SCHEMA)
+    return parse_docs_with(
+        lambda text, _scope: distill_rdfa_text(text), docs, col
+    )

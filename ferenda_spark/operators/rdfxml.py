@@ -32,7 +32,6 @@ from __future__ import annotations
 import io
 import re
 import xml.etree.ElementTree as ET
-from typing import Iterable, Iterator
 from urllib.parse import urljoin
 
 from pyspark.sql import Column, DataFrame
@@ -249,34 +248,10 @@ def parse_rdfxml_docs(
 ) -> DataFrame:
     """DataFrame of whole RDF/XML documents -> triples table (one
     ElementTree parse per row inside mapInPandas — per-file
-    parallelism, no shuffle, schema identical to the KG triples
-    table)."""
-    import hashlib
+    parallelism, no shuffle; shared wrapper turtle.parse_docs_with)."""
+    from ferenda_spark.operators.turtle import parse_docs_with
 
-    import pandas as pd
-
-    cols = [col] + ([scope_col] if scope_col else [])
-    src = docs.select(*cols)
-    sc = scope_col
-
-    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows: list[tuple] = []
-            for _, r in pdf.iterrows():
-                text = r[col]
-                if text is None:
-                    continue
-                scope = (
-                    str(r[sc])
-                    if sc
-                    else hashlib.md5(text.encode()).hexdigest()[:8]
-                )
-                rows.extend(parse_rdfxml_text(text, scope))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in TRIPLE_SCHEMA.fields]
-            )
-
-    return src.mapInPandas(run, TRIPLE_SCHEMA)
+    return parse_docs_with(parse_rdfxml_text, docs, col, scope_col)
 
 
 def read_rdfxml(spark, path: str) -> DataFrame:
@@ -293,14 +268,29 @@ def read_rdfxml(spark, path: str) -> DataFrame:
 # Writer (pure Catalyst)
 # ---------------------------------------------------------------------------
 
-#: XML escaping for text content and (double-quoted) attribute values
+#: XML escaping for text content and (double-quoted) attribute
+#: values.  Carriage returns are escaped as numeric char refs even in
+#: TEXT content — XML 1.0 §2.11 normalizes raw \r (and \r\n) to \n
+#: on every parse, which would silently corrupt literals; char refs
+#: expand after normalization and survive.  Attributes additionally
+#: escape \n/\t (attribute-value normalization folds them to spaces).
 def _xml_escape(col: Column, attr: bool = False) -> Column:
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
     out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit("\r"), F.lit("&#13;"))
     if attr:
         out = F.replace(out, F.lit('"'), F.lit("&quot;"))
+        out = F.replace(out, F.lit("\n"), F.lit("&#10;"))
+        out = F.replace(out, F.lit("\t"), F.lit("&#9;"))
     return out
+
+
+#: C0 controls other than \t\n\r are not representable in XML 1.0 at
+#: all (illegal even as character references) — a literal containing
+#: one cannot be serialized as RDF/XML; fail loudly rather than emit
+#: an unparseable document
+_XML_ILLEGAL = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
 
 
 #: predicate IRI -> (namespace, NCName local) split at the last
@@ -328,7 +318,7 @@ def to_rdfxml(triples: DataFrame, distinct: bool = True) -> DataFrame:
     aggregation of codegen'd per-triple strings."""
     t = triples.select("subj", "pred", "obj", "obj_is_uri", "lang", "datatype")
     if distinct:
-        t = t.dropDuplicates(["subj", "pred", "obj", "lang", "datatype"])
+        t = t.dropDuplicates(["subj", "pred", "obj", "obj_is_uri", "lang", "datatype"])
     ns, local = _ns_local(F.col("pred"))
     open_tag = F.concat(
         F.lit("  <p:"), local,
@@ -357,6 +347,15 @@ def to_rdfxml(triples: DataFrame, distinct: bool = True) -> DataFrame:
             F.concat(
                 F.lit("rdfxml: predicate has no NCName tail: "),
                 F.col("pred"),
+            )
+        ),
+    ).when(
+        ~F.col("obj_is_uri") & F.col("obj").rlike(_XML_ILLEGAL),
+        F.raise_error(
+            F.concat(
+                F.lit("rdfxml: literal contains XML-1.0-illegal "
+                      "control characters (subject "),
+                F.col("subj"), F.lit(")"),
             )
         ),
     ).when(

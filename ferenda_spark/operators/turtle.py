@@ -150,7 +150,7 @@ def to_turtle(
     owes the `turtle_header` preamble (write_turtle does this)."""
     t = triples.select("subj", "pred", "obj", "obj_is_uri", "lang", "datatype")
     if distinct:
-        t = t.dropDuplicates(["subj", "pred", "obj", "lang", "datatype"])
+        t = t.dropDuplicates(["subj", "pred", "obj", "obj_is_uri", "lang", "datatype"])
     term = _obj_term(
         F.col("obj"), F.col("obj_is_uri"), F.col("lang"),
         F.col("datatype"), prefixes,
@@ -235,9 +235,13 @@ _PNAME = re.compile(
 )
 _BNODE = re.compile(r"_:([A-Za-z0-9\u00C0-\uFFFF_][\w\u00C0-\uFFFF.-]*)")
 _LANGTAG = re.compile(r"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)")
+#: numeric shorthand per the exact W3C productions: DOUBLE requires
+#: an exponent (and only then may the dot have no trailing digits);
+#: DECIMAL requires digits AFTER the dot — so `1.` lexes as the
+#: integer 1 followed by the statement terminator, not a number
 _NUMBER = re.compile(
-    r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?"
-    r"|\d+(?:[eE][+-]?\d+)?)"
+    r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+"
+    r"|\d*\.\d+|\d+)"
 )
 _WS_COMMENT = re.compile(r"(?:\s+|#[^\n]*)+")
 _UCHAR = re.compile(r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})")
@@ -478,8 +482,10 @@ class _TurtleDoc:
                     continue
                 break
             if self._peek() == ";":
-                self.i += 1
-                # allow trailing ';' before '.' / ']'
+                # the grammar's (';' (verb objectList)?)* allows any
+                # number of empty slots: consume the whole ';' run
+                while self._peek() == ";":
+                    self.i += 1
                 if self._peek() in (".", "]", ""):
                     return
                 continue
@@ -589,14 +595,18 @@ def parse_turtle_text(
     return _TurtleDoc(text, scope, base).parse()
 
 
-def parse_turtle_docs(
-    docs: DataFrame, col: str = "doc", scope_col: str | None = None
+def parse_docs_with(
+    parse_fn,
+    docs: DataFrame,
+    col: str = "doc",
+    scope_col: str | None = None,
 ) -> DataFrame:
-    """DataFrame of whole Turtle documents -> triples table.  One
-    parser instance per document row inside mapInPandas — per-file
-    parallelism, Arrow-batched both ways, output schema identical
-    to the KG triples table.  Skolem scope is ``scope_col`` when
-    given, else a stable per-document hash of the text."""
+    """Shared document→triples mapInPandas wrapper for the RDF text
+    parsers (Turtle / RDF/XML / RDFa distill): one ``parse_fn(text,
+    scope)`` call per document row — per-file parallelism,
+    Arrow-batched both ways, output schema = the KG triples table.
+    Skolem scope is ``scope_col`` when given, else a stable
+    per-document hash of the text."""
     import hashlib
 
     import pandas as pd
@@ -608,22 +618,27 @@ def parse_turtle_docs(
     def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows: list[tuple] = []
-            for _, r in pdf.iterrows():
-                text = r[col]
+            scopes = pdf[sc] if sc else [None] * len(pdf)
+            for text, scope in zip(pdf[col], scopes):
                 if text is None:
                     continue
-                scope = (
-                    str(r[sc])
-                    if sc
-                    else hashlib.md5(text.encode()).hexdigest()[:8]
-                )
-                rows.extend(parse_turtle_text(text, scope))
+                if scope is None:
+                    scope = hashlib.md5(text.encode()).hexdigest()[:8]
+                rows.extend(parse_fn(text, str(scope)))
             yield pd.DataFrame(
                 rows,
                 columns=[f.name for f in TRIPLE_SCHEMA.fields],
             )
 
     return src.mapInPandas(run, TRIPLE_SCHEMA)
+
+
+def parse_turtle_docs(
+    docs: DataFrame, col: str = "doc", scope_col: str | None = None
+) -> DataFrame:
+    """DataFrame of whole Turtle documents -> triples table (see
+    parse_docs_with)."""
+    return parse_docs_with(parse_turtle_text, docs, col, scope_col)
 
 
 def read_turtle(spark, path: str) -> DataFrame:

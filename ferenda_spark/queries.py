@@ -1743,7 +1743,7 @@ def q_kg_turtle(spark, sf_dir):
 
     blocks = to_turtle(_kg(spark, sf_dir).triples)
     return parse_turtle_docs(blocks, "block").dropDuplicates(
-        ["subj", "pred", "obj", "lang", "datatype"]
+        ["subj", "pred", "obj", "obj_is_uri", "lang", "datatype"]
     )
 
 
@@ -1772,7 +1772,7 @@ def q_kg_rdfxml(spark, sf_dir):
 
     blocks = to_rdfxml(_kg(spark, sf_dir).triples)
     return parse_rdfxml_docs(blocks, "block").dropDuplicates(
-        ["subj", "pred", "obj", "lang", "datatype"]
+        ["subj", "pred", "obj", "obj_is_uri", "lang", "datatype"]
     )
 
 
@@ -1802,7 +1802,7 @@ def q_kg_rdfa(spark, sf_dir):
     prefixes = {"dct": NS["dcterms"], "bibo": NS["bibo"], "rfc": NS["rfc"]}
     docs = render_rdfa(_kg(spark, sf_dir).triples, prefixes)
     return distill_rdfa(docs, "xhtml").dropDuplicates(
-        ["subj", "pred", "obj", "lang", "datatype"]
+        ["subj", "pred", "obj", "obj_is_uri", "lang", "datatype"]
     )
 
 

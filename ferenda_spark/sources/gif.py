@@ -125,6 +125,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             if i + 10 > len(d):
                 raise ValueError("gif: truncated image descriptor")
             _x, _y, w, h, iflags = struct.unpack("<HHHHB", d[i + 1 : i + 10])
+            if w == 0 or h == 0:
+                raise ValueError("gif: empty image frame")
             i += 10
             ct = gct
             if iflags & 0x80:

@@ -142,7 +142,18 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes → (H, W, 3) uint8 RGB.  ValueError outside the
-    documented baseline scope (callers drop the row)."""
+    documented baseline scope (callers drop the row) — including
+    truncated/garbled streams, which must never leak IndexError /
+    KeyError / struct.error past this boundary."""
+    try:
+        return _decode(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
+        raise ValueError(f"jpeg: malformed stream ({type(e).__name__})") from e
+
+
+def _decode(payload: bytes) -> np.ndarray:
     if not payload or not payload.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG")
     d = payload
@@ -237,6 +248,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         blocks[cid] = np.zeros((mcuy * cv * bw[cid], 64), dtype=np.int32)
 
     tab_for = {cid: (td, ta) for cid, td, ta in scan}
+    comp_by_id = {c[0]: c for c in comps}
+    if set(tab_for) != set(comp_by_id):
+        # a legal non-interleaved file has one SOS per component;
+        # only the single interleaved scan is in scope
+        raise ValueError("jpeg: non-interleaved (multi-scan) not supported")
+    # the entropy stream follows SCAN-header component order
+    # (spec B.2.3), which may differ from SOF order
+    scan_comps = [comp_by_id[cid] for cid, _td, _ta in scan]
     br = _BitReader(d, i)
     pred = {cid: 0 for cid, *_ in comps}
     rst = 0
@@ -247,7 +266,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 br.sync_restart(rst)
                 rst = (rst + 1) & 7
                 pred = {cid: 0 for cid in pred}
-            for cid, ch, cv, _tq in comps:
+            for cid, ch, cv, _tq in scan_comps:
                 td, ta = tab_for[cid]
                 if td not in dc_tabs or ta not in ac_tabs:
                     raise ValueError("jpeg: missing Huffman table")

@@ -158,3 +158,11 @@ def test_resize_images_real_gif_path(spark):
     assert set(rows) == {1}
     got = np.frombuffer(bytes(rows[1]["rgb"]), np.uint8).reshape(2, 2, 3)
     assert np.all(got == np.array(PAL[0], dtype=np.uint8))
+
+
+def test_zero_dimension_frame_rejected():
+    ok = make_gif(np.array([[0, 1]], dtype=np.uint8), PAL)
+    i = ok.index(bytes([0x2C]))
+    zero_w = ok[: i + 5] + struct.pack("<H", 0) + ok[i + 7 :]
+    with pytest.raises(ValueError):
+        decode_gif(zero_w)

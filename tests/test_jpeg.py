@@ -373,3 +373,56 @@ def test_resize_images_real_jpeg_path(spark):
     assert set(rows) == {1}
     got = np.frombuffer(bytes(rows[1]["rgb"]), np.uint8).reshape(2, 2, 3)
     assert np.all(got == 136)
+
+
+def test_truncated_headers_raise_valueerror_only():
+    """Truncated/garbled segment bodies must surface as ValueError,
+    never IndexError/struct.error (the drop-the-row contract)."""
+    base = make_gray_jpeg([[[4] + [0] * 63]])
+    i = base.index(b"\xff\xc0")
+    # SOF body chopped mid-struct but length field intact
+    broken_sof = base[: i + 6] + base[i + 9 :]
+    for bad in [broken_sof, base[:i + 4], base[:30]]:
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_non_interleaved_multi_scan_rejected():
+    """A color SOF whose single SOS lists only one component (the
+    non-interleaved shape) raises ValueError instead of KeyError."""
+    full = make_color_jpeg(4, 8, -8)
+    i = full.index(b"\xff\xda")
+    one_comp_sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    seg_len = struct.unpack(">H", full[i + 2 : i + 4])[0]
+    patched = full[:i] + one_comp_sos + full[i + 2 + seg_len :]
+    with pytest.raises(ValueError):
+        decode_jpeg(patched)
+
+
+def test_scan_order_differs_from_sof_order():
+    """Entropy data follows SOS component order (spec B.2.3): a file
+    whose scan lists Cr,Cb,Y must decode identically to the Y,Cb,Cr
+    layout of the same pixel values."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA[0]) + DC_LUMA[1]) + _seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_COUNTS) + AC_LUMA_SYMS
+    )
+    # SOS order: 3 (Cr), 2 (Cb), 1 (Y)
+    sos = _seg(0xDA, bytes([3, 3, 0x00, 2, 0x00, 1, 0x00, 0, 63, 0]))
+    dc_codes = _canonical_codes(*DC_LUMA)
+    ac_codes = _canonical_codes(AC_LUMA_COUNTS, AC_LUMA_SYMS)
+    bw = _BitWriter()
+    for dc in (-8, 8, 4):  # Cr, Cb, Y in scan order
+        zz = [0] * 64
+        zz[0] = dc
+        _encode_block(bw, zz, 0, dc_codes, ac_codes)
+    bw.pad()
+    img = decode_jpeg(
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+    assert np.array_equal(img, decode_jpeg(make_color_jpeg(4, 8, -8)))

@@ -12,6 +12,7 @@ from ferenda_spark.operators.rdfa import (
     render_rdfa,
 )
 from ferenda_spark.operators.turtle import RDF_TYPE, XSD
+from ferenda_spark.operators.rdfa import DCT_TITLE as DCT_TITLE_
 
 PREFIXES = {
     "dct": "http://purl.org/dc/terms/",
@@ -150,3 +151,40 @@ def test_distill_plan_is_per_doc(spark):
     docs = render_rdfa(_sample_triples(spark), PREFIXES).select("xhtml")
     plan = distill_rdfa(docs, "xhtml")._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_typed_title_roundtrips(spark):
+    """A typed dcterms:title can't ride the datatype-less <title>
+    element — it must take the meta path and round-trip."""
+    d1 = "http://ex.org/doc/9"
+    rows = [
+        (d1, DCT_TITLE_, "T", False, None, XSD + "string"),
+        (d1, DCT_TITLE_, "Plain", False, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    back = distill_rdfa(render_rdfa(t, PREFIXES), "xhtml")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_carriage_return_title_roundtrips(spark):
+    d1 = "http://ex.org/doc/10"
+    rows = [(d1, DCT_TITLE_, "line1\rline2", False, None, None)]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    back = distill_rdfa(render_rdfa(t, None), "xhtml")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_xml_illegal_control_raises_rdfa(spark):
+    bad = spark.createDataFrame(
+        [("http://ex.org/doc/11", "http://ex.org/p", "a\x02b", False, None, None)],
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    with pytest.raises(Exception) as ei:
+        distill_rdfa(render_rdfa(bad, None), "xhtml").count()
+    assert "illegal" in str(ei.value)

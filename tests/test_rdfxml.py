@@ -210,3 +210,38 @@ def test_parser_plan_is_per_file(spark):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_carriage_return_literal_roundtrips(spark):
+    """XML line-end normalization folds raw \\r to \\n; the writer
+    must emit &#13; so literals survive byte-exactly."""
+    rows = [("http://e.org/s", "http://e.org/p", "a\rb\r\nc", False, None, None)]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    back = parse_rdfxml_docs(to_rdfxml(t), "block")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_xml_illegal_control_raises(spark):
+    bad = spark.createDataFrame(
+        [("http://e.org/s", "http://e.org/p", "a\x01b", False, None, None)],
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    with pytest.raises(Exception) as ei:
+        parse_rdfxml_docs(to_rdfxml(bad), "block").count()
+    assert "illegal" in str(ei.value)
+
+
+def test_uri_literal_twin_triples_both_survive(spark):
+    rows = [
+        ("http://e.org/s", "http://e.org/p", "http://x.org/", True, None, None),
+        ("http://e.org/s", "http://e.org/p", "http://x.org/", False, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    back = parse_rdfxml_docs(to_rdfxml(t), "block")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)

@@ -331,3 +331,38 @@ def test_parser_plan_is_per_file(spark):
     )
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_integer_followed_by_statement_dot():
+    """W3C grammar: DECIMAL requires digits after the dot, so
+    '1.' is the integer 1 + the statement terminator."""
+    t = parse_turtle_text("@prefix e: <u:> . e:s e:p 1.", "sc")
+    assert t == [("u:s", "u:p", "1", False, None, XSD + "integer")]
+    # double WITH exponent may keep the bare dot
+    t2 = parse_turtle_text("@prefix e: <u:> . e:s e:p 1.e3 .", "sc")
+    assert t2[0][2] == "1.e3" and t2[0][5] == XSD + "double"
+
+
+def test_repeated_semicolons_allowed():
+    """(';' (verb objectList)?)* permits empty slots."""
+    t = parse_turtle_text(
+        "@prefix e: <u:> . e:s e:p e:o ; ; e:q e:r .", "sc"
+    )
+    assert ("u:s", "u:p", "u:o", True, None, None) in t
+    assert ("u:s", "u:q", "u:r", True, None, None) in t
+    assert len(t) == 2
+
+
+def test_uri_literal_twin_triples_both_survive(spark):
+    """A URI object and an identical-string literal object are
+    DISTINCT triples: the serializer dedup must key on obj_is_uri."""
+    rows = [
+        ("http://ex.org/s", "http://ex.org/p", "http://x.org/", True, None, None),
+        ("http://ex.org/s", "http://ex.org/p", "http://x.org/", False, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, lang string, datatype string",
+    )
+    back = parse_turtle_docs(to_turtle(t), "block")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
