@@ -1173,6 +1173,59 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_warc_pages(spark, sf_dir):
+    """WARC container round-trip (sources/warc.py): each partition
+    of the documents table serializes its rows into one in-memory
+    Common-Crawl-style .warc.gz (per-record gzip members, HTTP-200
+    response records) and immediately re-parses it with the
+    production reader — fully distributed, no filesystem, no driver
+    collect.  Output is (url, n_bytes) per document; any header
+    walk / gzip member / HTTP split defect breaks the equality with
+    the oracle, which recomputes the minted urls and byte lengths
+    relationally."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from ferenda_spark.sources.warc import parse_warc_bytes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = (text or "").encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + body
+                )
+                url = f"http://corpus.example/{doc_id}"
+                hdr = (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode()
+                recs.append(_gzip.compress(hdr + http + b"\r\n\r\n"))
+            rows = parse_warc_bytes(b"".join(recs)) if recs else []
+            yield pd.DataFrame(
+                {
+                    "url": [r[0] for r in rows],
+                    "n_bytes": [len(r[2]) for r in rows],
+                }
+            )
+
+    return docs.mapInPandas(run, "url string, n_bytes long")
+
+
+ORACLE_WARC_PAGES = """
+SELECT 'http://corpus.example/' || doc_id AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Tokenizer-training surface (operators/bpe.py): round-1 BPE
     pair counts over the corpus vocabulary — char-pair frequencies
@@ -3074,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "lm_perplexity": q_lm_perplexity,
         "bpe_pairs": q_bpe_pairs,
+        "warc_pages": q_warc_pages,
         "host_aggregates": q_host_aggregates,
         "toc_pagesets": q_toc_pagesets,
         "toc_pages": q_toc_pages,
@@ -3135,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "host_aggregates": ORACLE_HOST_AGG,
         "lm_perplexity": ORACLE_LM_PPL,
         "bpe_pairs": ORACLE_BPE_PAIRS,
+        "warc_pages": ORACLE_WARC_PAGES,
         "contamination": ORACLE_CONTAMINATION,
         "pii_scan": ORACLE_PII,
         "url_canon": ORACLE_URL_CANON,
