@@ -215,6 +215,11 @@ def _decode(payload: bytes) -> np.ndarray:
                 cid = seg[6 + 3 * k]
                 hv = seg[7 + 3 * k]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * k]))
+            if ncomp == 1:
+                # spec B.2.3: a one-component scan is non-interleaved
+                # (one 8x8 unit per MCU, ceil(W/8)*ceil(H/8) blocks)
+                # regardless of declared sampling factors, so h=v=1
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: only baseline/extended-sequential Huffman supported")

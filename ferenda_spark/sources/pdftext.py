@@ -233,7 +233,11 @@ def margin_metrics(
             if not n:
                 continue
             total += n
-            top[int(page_h - r.y)] += n
+            # clamp slightly out-of-MediaBox coordinates into the
+            # scannable range so they participate in zone detection
+            # (and survive strip_marginalia) instead of inflating
+            # thresholds from unreachable bins
+            top[min(max(int(page_h - r.y), 0), int(page_h))] += n
             left[int(r.x)] += n
             right[int(_est_end(r))] += n
     out = {"pagewidth": page_w, "pageheight": page_h,
@@ -271,8 +275,10 @@ def strip_marginalia(
     textboxes outside the body zone when metrics are supplied)."""
     ph = metrics["pageheight"]
     t, b = metrics["topmargin"], metrics["bottommargin"]
+    # clamp like margin_metrics so slightly out-of-MediaBox runs are
+    # judged against the real zones instead of being dropped
     return [
-        [r for r in runs if t <= (ph - r.y) <= b]
+        [r for r in runs if t <= min(max(ph - r.y, 0), int(ph)) <= b]
         for runs in pages
     ]
 

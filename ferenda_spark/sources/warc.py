@@ -52,9 +52,40 @@ def _gunzip_members(data: bytes) -> Iterator[bytes]:
         pos = len(data) - len(rest)
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 chunked transfer framing.  A malformed chunk
+    header ends the walk with what was decoded so far (truncated
+    captures are common in crawls)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\n", pos)
+        if eol == -1:
+            break
+        size_field = body[pos:eol].strip().split(b";", 1)[0]
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 1
+        out += body[start : start + size]
+        pos = start + size
+        # consume the CRLF / LF that terminates the chunk data
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+    return bytes(out)
+
+
 def _parse_http_response(payload: bytes) -> tuple[int, bytes] | None:
     """(status, body) for an HTTP response payload; None if the
-    payload isn't HTTP."""
+    payload isn't HTTP.  Chunked transfer framing is removed and
+    gzip/deflate content encodings are decompressed (both occur in
+    real Common-Crawl response records)."""
     if not payload.startswith(b"HTTP/"):
         return None
     head, _, body = payload.partition(b"\r\n\r\n")
@@ -64,6 +95,28 @@ def _parse_http_response(payload: bytes) -> tuple[int, bytes] | None:
         status = int(head.split(None, 2)[1])
     except (IndexError, ValueError):
         return None
+    hdrs: dict[str, str] = {}
+    for line in head.splitlines()[1:]:
+        k, sep, v = line.decode("latin-1", "replace").partition(":")
+        if sep:
+            hdrs[k.strip().lower()] = v.strip().lower()
+    if "chunked" in hdrs.get("transfer-encoding", ""):
+        body = _dechunk(body)
+    enc = hdrs.get("content-encoding", "")
+    if enc in ("gzip", "x-gzip", "deflate"):
+        try:
+            body = zlib.decompressobj(
+                wbits=47 if enc != "deflate" else 15
+            ).decompress(body)
+        except zlib.error:
+            if enc == "deflate":
+                # raw deflate without the zlib wrapper also occurs
+                try:
+                    body = zlib.decompressobj(wbits=-15).decompress(body)
+                except zlib.error:
+                    return None
+            else:
+                return None
     return status, body
 
 
@@ -75,9 +128,15 @@ def _iter_records(stream: bytes) -> Iterator[tuple[dict, bytes]]:
     pos = 0
     n = len(stream)
     while pos < n:
-        # skip inter-record blank lines
-        while pos < n and stream[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2 if stream[pos : pos + 2] == b"\r\n" else 1
+        # skip inter-record blank lines byte-wise: a CRLF pair is one
+        # separator, a lone LF is one separator (LF-delimited WARCs)
+        while pos < n:
+            if stream[pos : pos + 2] == b"\r\n":
+                pos += 2
+            elif stream[pos : pos + 1] == b"\n":
+                pos += 1
+            else:
+                break
         if pos >= n:
             return
         if not stream.startswith(b"WARC/", pos):

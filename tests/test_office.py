@@ -285,6 +285,26 @@ def test_pdf_margin_metrics():
     assert met["leftmargin"] == 72
 
 
+def test_pdf_out_of_mediabox_runs_survive_stripping():
+    """Runs with y slightly outside [0, page_h] (rounding /
+    out-of-MediaBox text) must be clamped into the zone scan, not
+    silently deleted by strip_marginalia."""
+    from ferenda_spark.sources.pdftext import (
+        Run,
+        margin_metrics,
+        strip_marginalia,
+    )
+
+    body = [Run(72.0, 700.0 - 14 * i, 12.0, f"body line {i}" * 4, i)
+            for i in range(20)]
+    stray = Run(72.0, -2.5, 12.0, "stray below box", 99)  # ph - y > ph
+    pages = [body + [stray]]
+    met = margin_metrics(pages, 612.0, 792.0)
+    kept = strip_marginalia(pages, met)
+    assert stray in kept[0]
+    assert len(kept[0]) == len(pages[0])
+
+
 def test_pdf_strip_marginalia_drops_header_footer():
     from ferenda_spark.sources.pdftext import extract_pdf_text_positional
 

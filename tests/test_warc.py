@@ -58,6 +58,56 @@ def test_parse_responses_only(gz):
     assert rows[1][1].day == 2
 
 
+def test_lf_delimited_records_all_parse():
+    """LF-only record separators (no CR) must not swallow records:
+    the byte-wise skip consumes each lone '\\n' as one separator."""
+    def lf_record(url, body):
+        payload = f"HTTP/1.1 200 X\nContent-Length: {len(body)}\n\n".encode() + body
+        hdr = (
+            f"WARC/1.0\nWARC-Type: response\n"
+            f"WARC-Date: 2024-03-01T12:00:00Z\n"
+            f"WARC-Target-URI: {url}\n"
+            f"Content-Length: {len(payload)}\n\n"
+        ).encode()
+        return hdr + payload + b"\n\n"
+
+    lf = lf_record("http://a.org/1", HTML1) + lf_record("http://a.org/2", HTML2)
+    rows = parse_warc_bytes(lf)
+    assert [r[0] for r in rows] == ["http://a.org/1", "http://a.org/2"]
+
+
+def test_chunked_and_gzip_bodies_decoded():
+    import zlib as _z
+
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"19\r\n<html><body>chunk one rea\r\n"
+        b"9\r\nl</body>x\r\n"
+        b"0\r\n\r\n"
+    )
+    gz_body = gzip.compress(HTML2)
+    gzipped = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        + f"Content-Length: {len(gz_body)}\r\n\r\n".encode()
+        + gz_body
+    )
+    co = _z.compressobj(wbits=-15)
+    raw_deflate = co.compress(HTML1) + co.flush()
+    deflated = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw_deflate
+    )
+    recs = [
+        _record("response", "http://c.org/chunked", chunked),
+        _record("response", "http://c.org/gz", gzipped),
+        _record("response", "http://c.org/deflate", deflated),
+    ]
+    rows = parse_warc_bytes(b"".join(recs))
+    got = {r[0]: r[2] for r in rows}
+    assert got["http://c.org/chunked"] == b"<html><body>chunk one real</body>x"
+    assert got["http://c.org/gz"] == HTML2
+    assert got["http://c.org/deflate"] == HTML1
+
+
 def test_not_warc_raises():
     with pytest.raises(ValueError):
         parse_warc_bytes(b"plain text, definitely not a crawl")
