@@ -3107,10 +3107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_scan": q_pii_scan,
         "unicode_nfc": q_unicode_nfc,
-        "fix_mojibake": q_fix_mojibake,
-        "clean_lines": q_clean_lines,
+        "lm_perplexity": q_lm_perplexity,
+        "bpe_pairs": q_bpe_pairs,
         "pack_plan": q_pack_plan,
-        "ann_bruteforce": q_ann_bruteforce,
+        "warc_pages": q_warc_pages,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "neardup_threshold": q_neardup_threshold,
@@ -3125,9 +3125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_windows": q_crawl_windows,
         "recrawl_changes": q_recrawl_changes,
         "url_canon": q_url_canon,
-        "lm_perplexity": q_lm_perplexity,
-        "bpe_pairs": q_bpe_pairs,
-        "warc_pages": q_warc_pages,
+        "fix_mojibake": q_fix_mojibake,
+        "clean_lines": q_clean_lines,
+        "ann_bruteforce": q_ann_bruteforce,
         "host_aggregates": q_host_aggregates,
         "toc_pagesets": q_toc_pagesets,
         "toc_pages": q_toc_pages,
