@@ -187,6 +187,9 @@ def main() -> None:
         for name_, df_ in (
             ("fingerprints", st.fingerprints), ("docs", st.docs),
             ("segments", st.segments), ("mentions", st.mentions),
+            # tail tables: enable the delta-scoped relational tail
+            ("labels", st.labels), ("canon", st.canon),
+            ("triples", st.triples), ("edges", st.edges),
         ):
             df_.write.mode("overwrite").parquet(f"{state_path}/{name_}")
         v2_path = os.path.join("build", f"bench_pages_v2_{n_docs}")
@@ -203,7 +206,8 @@ def main() -> None:
             spark.catalog.clearCache()
             stored = KGState(*[
                 spark.read.parquet(f"{state_path}/{n_}")
-                for n_ in ("fingerprints", "docs", "segments", "mentions")
+                for n_ in ("fingerprints", "docs", "segments", "mentions",
+                           "labels", "canon", "triples", "edges")
             ])
             pages2 = spark.read.parquet(v2_path).persist(
                 StorageLevel.MEMORY_AND_DISK

@@ -60,13 +60,13 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.union(root).distinct()
 
 
-def _driver_cc(e: DataFrame) -> DataFrame:
-    """Union-find on the driver for dimension-sized edge sets: two
-    jobs (collect + parallelize) instead of ~2 per star round —
-    the iterative distributed algorithm costs O(rounds) driver
-    round-trips, which becomes the pipeline's Amdahl serial floor
-    when the equivalence population is tiny (the common case: only
-    multi-minted entities produce sameAs edges)."""
+def _driver_cc(spark, rows) -> DataFrame:
+    """Union-find on the driver for dimension-sized edge sets: one
+    job (the caller's limit-probe collect) instead of ~2 per star
+    round — the iterative distributed algorithm costs O(rounds)
+    driver round-trips, which becomes the pipeline's Amdahl serial
+    floor when the equivalence population is tiny (the common case:
+    only multi-minted entities produce sameAs edges)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -77,17 +77,17 @@ def _driver_cc(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.collect():
+    for row in rows:
         a, b = find(row["u"]), find(row["v"])
         if a != b:
             # union by label order so the root is always the min —
             # the component label IS the lexicographic min member
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
-    rows = sorted((x, find(x)) for x in parent)
-    all_nodes = {x for x, _ in rows} | {r for _, r in rows}
+    srt = sorted((x, find(x)) for x in parent)
+    all_nodes = {x for x, _ in srt} | {r for _, r in srt}
     out = sorted((x, find(x)) for x in all_nodes)
-    return e.sparkSession.createDataFrame(out, "uri string, canon_uri string")
+    return spark.createDataFrame(out, "uri string, canon_uri string")
 
 
 def connected_components(
@@ -113,15 +113,20 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n = e.count()
-    if n == 0:
+    # ONE job decides the strategy AND feeds the driver path: a
+    # limit-probe collect returns the complete edge set iff it is
+    # under the threshold (the limit didn't truncate) — replacing
+    # the former checkpoint+count+collect triple, which cost three
+    # driver round-trips on the latency-critical small case
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) == 0:
         return e.select(
             F.col("u").alias("uri"), F.col("v").alias("canon_uri")
         )
-    if n <= driver_threshold:
-        return _driver_cc(e)
+    if len(probe) <= driver_threshold:
+        return _driver_cc(e.sparkSession, probe)
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     for i in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
