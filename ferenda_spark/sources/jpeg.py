@@ -4,13 +4,15 @@ Reference parity: the reference shells image handling out to
 external tools/libraries; the multimodal analog here keeps decode
 hermetic (like sources/png.py / wav.py / avi.py) so the default
 `resize_images` codec can decode real photographic payloads without
-a native dependency.  Scope: baseline sequential DCT (SOF0) and
-extended sequential (SOF1), 8-bit, grayscale or YCbCr with any
-standard sampling (4:4:4, 4:2:2, 4:2:0 — general H/V factors),
-restart markers, 8/16-bit quantization tables.  Out of scope, all
-raising ValueError (the callers' drop-the-row contract):
-progressive (SOF2), arithmetic coding (SOF9+), CMYK/Adobe 4-comp,
-12-bit precision, hierarchical.
+a native dependency.  Scope: baseline sequential DCT (SOF0),
+extended sequential (SOF1) AND progressive (SOF2 — spectral
+selection + successive approximation, the encoding most large web
+JPEGs use), 8-bit, grayscale or YCbCr with any standard sampling
+(4:4:4, 4:2:2, 4:2:0 — general H/V factors), restart markers,
+8/16-bit quantization tables, inter-scan table redefinition.  Out
+of scope, all raising ValueError (the callers' drop-the-row
+contract): arithmetic coding (SOF9+), CMYK/Adobe 4-comp, 12-bit
+precision, lossless, hierarchical.
 
 Decode path: marker walk → canonical Huffman tables (count/symbol
 lists per Annex C) → MCU scan with 0xFF00 unstuffing and RSTn DC
@@ -140,6 +142,79 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _ac_first(br: "_BitReader", tab: "_Huff", coef, Ss: int, Se: int,
+              Al: int, eobrun: int) -> int:
+    """Progressive AC first-pass scan for one block (spec G.1.2.2):
+    run/size coding of the [Ss..Se] band at approximation Al, with
+    EOB runs spanning whole blocks.  Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = br.huff(tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read(r)
+            return eobrun - 1
+        k += r
+        if k > Se:
+            raise ValueError("jpeg: AC index overflow")
+        coef[k] = _extend(br.read(s), s) << Al
+        k += 1
+    return 0
+
+
+def _ac_refine(br: "_BitReader", tab: "_Huff", coef, Ss: int, Se: int,
+               Al: int, eobrun: int) -> int:
+    """Progressive AC refinement for one block (spec G.1.2.3):
+    correction bits for coefficients already nonzero, new ±1<<Al
+    insertions for newly-significant ones.  Returns remaining EOB
+    run."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = br.huff(tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: invalid AC refinement size")
+                newval = p1 if br.read(1) else -p1
+            while k <= Se:
+                if coef[k] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if br.read(1) and (abs(int(coef[k])) & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= Se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if coef[k] != 0:
+                if br.read(1) and (abs(int(coef[k])) & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes → (H, W, 3) uint8 RGB.  ValueError outside the
     documented baseline scope (callers drop the row) — including
@@ -164,6 +239,9 @@ def _decode(payload: bytes) -> np.ndarray:
     frame = None  # (H, W, comps) comps = [(id, h, v, tq)]
     restart_interval = 0
     scan = None
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None  # progressive store
+    geo = None  # (hmax, vmax, mcux, mcuy, bw, cbw, cbh)
 
     while i + 4 <= len(d):
         if d[i] != 0xFF:
@@ -202,7 +280,8 @@ def _decode(payload: bytes) -> np.ndarray:
                 syms = seg[j + 17 : j + 17 + n]
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(counts, syms)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -221,8 +300,11 @@ def _decode(payload: bytes) -> np.ndarray:
                 # regardless of declared sampling factors, so h=v=1
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline/extended-sequential Huffman supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg: only sequential/progressive Huffman supported "
+                "(no arithmetic, 12-bit, lossless or hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -232,8 +314,54 @@ def _decode(payload: bytes) -> np.ndarray:
                 cid = seg[1 + 2 * k]
                 tda = seg[2 + 2 * k]
                 scan.append((cid, tda >> 4, tda & 0xF))
-            i = i + 2 + seg_len
-            break
+            if not progressive:
+                i = i + 2 + seg_len
+                break
+            # ---- progressive: decode this scan in place and keep
+            # walking (tables may be redefined between scans, so
+            # scans must be processed in stream order)
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            if geo is None:
+                geo = _geometry(frame)
+                coefs = {
+                    cid_: np.zeros(
+                        (geo[5][cid_] * geo[4][cid_], 64), dtype=np.int32
+                    )
+                    for cid_, *_ in frame[2]
+                }
+            _hm, _vm, mcux_, mcuy_, bwd, _rowsd, cbw_, cbh_ = geo
+            Ss = seg[1 + 2 * ns]
+            Se = seg[2 + 2 * ns]
+            A = seg[3 + 2 * ns]
+            comp_by_id_p = {c[0]: c for c in frame[2]}
+            for cid_, _td, _ta in scan:
+                if cid_ not in comp_by_id_p:
+                    raise ValueError("jpeg: scan component not in frame")
+            br = _BitReader(d, i + 2 + seg_len)
+            _prog_scan(
+                br, scan, comp_by_id_p, mcux_, mcuy_, bwd, cbw_, cbh_,
+                dc_tabs, ac_tabs, coefs, Ss, Se, A >> 4, A & 0xF,
+                restart_interval,
+            )
+            # realign the walk to the next true marker (skip entropy
+            # remnants, stuffed 0x00, RSTn and 0xFF fill bytes)
+            i = br.i
+            n_ = len(d)
+            while i < n_:
+                if d[i] != 0xFF:
+                    i += 1
+                    continue
+                if i + 1 >= n_:
+                    break
+                nxt = d[i + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    i += 2
+                elif nxt == 0xFF:
+                    i += 1
+                else:
+                    break
+            continue
         i += 2 + seg_len
 
     if frame is None or scan is None:
@@ -241,6 +369,11 @@ def _decode(payload: bytes) -> np.ndarray:
     H, W, comps = frame
     if H == 0 or W == 0:
         raise ValueError("jpeg: empty image")
+    if progressive:
+        # all scans already decoded into coefs; share the IDCT tail
+        hmax, vmax, mcux, mcuy, bw, _rowsd, _cbw, _cbh = geo
+        blocks = coefs
+        return _reconstruct(H, W, comps, blocks, bw, qt, mcuy, hmax, vmax)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-W // (8 * hmax))
@@ -300,7 +433,121 @@ def _decode(payload: bytes) -> np.ndarray:
                         blocks[cid][row] = zz
             mcu_count += 1
 
-    # vectorized dequant + de-zigzag + IDCT per component
+    return _reconstruct(H, W, comps, blocks, bw, qt, mcuy, hmax, vmax)
+
+
+def _geometry(frame):
+    """(hmax, vmax, mcux, mcuy, bw, rows, cbw, cbh): padded MCU-grid
+    block dims (bw×rows, the coefficient-array layout) plus each
+    component's TRUE block dims (cbw×cbh — what a non-interleaved
+    progressive scan iterates, spec A.2.2)."""
+    H, W, comps = frame
+    if H == 0 or W == 0:
+        raise ValueError("jpeg: empty image")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-W // (8 * hmax))
+    mcuy = -(-H // (8 * vmax))
+    bw, rows, cbw, cbh = {}, {}, {}, {}
+    for cid, ch, cv, _tq in comps:
+        bw[cid] = mcux * ch
+        rows[cid] = mcuy * cv
+        compw = -(-(W * ch) // hmax)
+        comph = -(-(H * cv) // vmax)
+        cbw[cid] = -(-compw // 8)
+        cbh[cid] = -(-comph // 8)
+    return hmax, vmax, mcux, mcuy, bw, rows, cbw, cbh
+
+
+def _dc_unit(br, dc_tabs, td, arr, row, pred, cid, Ah, Al):
+    """One data unit of a progressive DC scan (first pass: Huffman
+    diff at approximation Al; refinement: one raw bit into bit Al)."""
+    if Ah == 0:
+        if td not in dc_tabs:
+            raise ValueError("jpeg: missing Huffman table")
+        t = br.huff(dc_tabs[td])
+        diff = _extend(br.read(t), t) if t else 0
+        pred[cid] += diff
+        arr[row, 0] = pred[cid] << Al
+    else:
+        if br.read(1):
+            arr[row, 0] |= 1 << Al
+
+
+def _prog_scan(br, scan, comp_by_id, mcux, mcuy, bwd, cbw, cbh,
+               dc_tabs, ac_tabs, coefs, Ss, Se, Ah, Al,
+               restart_interval):
+    """One progressive scan (spec G.1): DC scans may interleave all
+    frame components over the MCU grid; AC scans are one component
+    over its true block grid.  Restart markers reset predictors and
+    the EOB run."""
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("jpeg: progressive DC scan with Se != 0")
+        pred = {cid: 0 for cid, *_ in scan}
+        rstn = 0
+        unit = 0
+        if len(scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.sync_restart(rstn)
+                        rstn = (rstn + 1) & 7
+                        pred = {cid: 0 for cid in pred}
+                    for cid, td, _ta in scan:
+                        _, ch, cv, _tq = comp_by_id[cid]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                row = (my * cv + by) * bwd[cid] + (
+                                    mx * ch + bx
+                                )
+                                _dc_unit(
+                                    br, dc_tabs, td, coefs[cid], row,
+                                    pred, cid, Ah, Al,
+                                )
+                    unit += 1
+        else:
+            cid, td, _ta = scan[0]
+            for by in range(cbh[cid]):
+                for bx in range(cbw[cid]):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        br.sync_restart(rstn)
+                        rstn = (rstn + 1) & 7
+                        pred = {cid: 0}
+                    _dc_unit(
+                        br, dc_tabs, td, coefs[cid],
+                        by * bwd[cid] + bx, pred, cid, Ah, Al,
+                    )
+                    unit += 1
+        return
+    # AC scan: exactly one component, non-interleaved (spec G.1.1)
+    if len(scan) != 1:
+        raise ValueError("jpeg: progressive AC scan must be one component")
+    if Se > 63 or Ss > Se:
+        raise ValueError("jpeg: bad spectral selection")
+    cid, _td, ta = scan[0]
+    if ta not in ac_tabs:
+        raise ValueError("jpeg: missing Huffman table")
+    tab = ac_tabs[ta]
+    fn = _ac_first if Ah == 0 else _ac_refine
+    eobrun = 0
+    rstn = 0
+    unit = 0
+    for by in range(cbh[cid]):
+        for bx in range(cbw[cid]):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br.sync_restart(rstn)
+                rstn = (rstn + 1) & 7
+                eobrun = 0
+            eobrun = fn(
+                br, tab, coefs[cid][by * bwd[cid] + bx], Ss, Se, Al, eobrun
+            )
+            unit += 1
+
+
+def _reconstruct(H, W, comps, blocks, bw, qt, mcuy, hmax, vmax):
+    """Shared tail: vectorized dequant + de-zigzag + IDCT per
+    component, chroma upsample, level shift, YCbCr→RGB."""
     planes: dict[int, np.ndarray] = {}
     for cid, ch, cv, tq in comps:
         if tq not in qt:

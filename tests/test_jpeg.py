@@ -277,15 +277,280 @@ def test_color_ycbcr_to_rgb():
 def test_rejects_out_of_scope():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2
+    # SOF2 with a sequential-style single scan: Ss=0 but Se=63 is an
+    # invalid progressive DC scan header
     prog = make_gray_jpeg([[[0] * 64]])
     prog = prog.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         decode_jpeg(prog)
+    # arithmetic coding stays out of scope
+    arith = make_gray_jpeg([[[0] * 64]]).replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(arith)
     # truncated entropy data must not loop forever
     trunc = make_gray_jpeg([[[4] + [0] * 63]])[:-12]
     with pytest.raises(ValueError):
         decode_jpeg(trunc)
+
+
+# ------------------------------------------------ progressive (SOF2)
+
+
+def _trunc_shift(v, al):
+    """Successive-approximation point transform: v / 2^al truncated
+    toward zero (spec G.1.2.1)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+DC_CODES = _canonical_codes(*DC_LUMA)
+AC_CODES = _canonical_codes(AC_LUMA_COUNTS, AC_LUMA_SYMS)
+
+
+def _prog_sos(comps_tda, ss, se, ah, al):
+    body = bytes([len(comps_tda)])
+    for cid, tda in comps_tda:
+        body += bytes([cid, tda])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+def _dc_first_scan(dcs, al, cid=1):
+    """Single-component progressive DC first scan over `dcs` blocks."""
+    w = _BitWriter()
+    pred = 0
+    for dc in dcs:
+        v = _trunc_shift(dc, al)
+        t, bits = _magnitude(v - pred)
+        ln, code = DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            w.put(bits, t)
+        pred = v
+    w.pad()
+    return _prog_sos([(cid, 0x00)], 0, 0, 0, al) + bytes(w.out)
+
+
+def _dc_refine_scan(dcs, al, cid=1):
+    w = _BitWriter()
+    for dc in dcs:
+        w.put((abs(dc) >> al) & 1, 1)
+    w.pad()
+    return _prog_sos([(cid, 0x00)], 0, 0, al + 1, al) + bytes(w.out)
+
+
+def _ac_first_scan(blocks_zz, ss, se, al, cid=1):
+    """AC first pass: per-block run/size of the [ss..se] band at
+    approximation `al` (EOB run of 1 per trailing-zero block)."""
+    w = _BitWriter()
+    for zz in blocks_zz:
+        band = [_trunc_shift(zz[k], al) for k in range(ss, se + 1)]
+        last = max((i for i, v in enumerate(band) if v), default=-1)
+        run = 0
+        for v in band[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = AC_CODES[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            ln, code = AC_CODES[(run << 4) | s]
+            w.put(code, ln)
+            w.put(bits, s)
+            run = 0
+        if last < len(band) - 1:
+            ln, code = AC_CODES[0x00]
+            w.put(code, ln)
+    w.pad()
+    return _prog_sos([(cid, 0x00)], ss, se, 0, al) + bytes(w.out)
+
+
+def _ac_refine_scan(blocks_zz, ss, se, al, cid=1):
+    """AC refinement from approximation al+1 down to al: correction
+    bits for already-significant coefficients, ±1<<al insertions for
+    newly-significant ones (spec G.1.2.3 encoder side)."""
+    w = _BitWriter()
+    for zz in blocks_zz:
+        corr = []
+        run = 0
+        for k in range(ss, se + 1):
+            hist = _trunc_shift(zz[k], al + 1)
+            if hist != 0:
+                corr.append((abs(zz[k]) >> al) & 1)
+                continue
+            v = _trunc_shift(zz[k], al)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = AC_CODES[0xF0]
+                w.put(code, ln)
+                for b in corr:
+                    w.put(b, 1)
+                corr = []
+                run -= 16
+            ln, code = AC_CODES[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if v > 0 else 0, 1)
+            for b in corr:
+                w.put(b, 1)
+            corr = []
+            run = 0
+        ln, code = AC_CODES[0x00]  # EOB run of 1
+        w.put(code, ln)
+        for b in corr:
+            w.put(b, 1)
+    w.pad()
+    return _prog_sos([(cid, 0x00)], ss, se, al + 1, al) + bytes(w.out)
+
+
+def _prog_gray_head(h, w, q=16):
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([q] * 64))
+    sof = _seg(
+        0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    )
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA[0]) + DC_LUMA[1]) + _seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_COUNTS) + AC_LUMA_SYMS
+    )
+    return b"\xff\xd8" + dqt + sof + dht
+
+
+def test_progressive_gray_equals_baseline():
+    """Full successive-approximation ladder (DC first Al=1 + DC
+    refine, AC first Al=1 + AC refine) reconstructs the exact
+    coefficients of the equivalent baseline file."""
+    z1 = [0] * 64
+    z1[0], z1[1], z1[5], z1[40] = 6, 4, -2, 2
+    z2 = [0] * 64
+    z2[0], z2[2], z2[10] = 8, 1, 3  # odd values force refinement bits
+    blocks = [z1, z2]
+    dcs = [z[0] for z in blocks]
+    prog = (
+        _prog_gray_head(8, 16)
+        + _dc_first_scan(dcs, 1)
+        + _ac_first_scan(blocks, 1, 63, 1)
+        + _dc_refine_scan(dcs, 0)
+        + _ac_refine_scan(blocks, 1, 63, 0)
+        + b"\xff\xd9"
+    )
+    base = make_gray_jpeg([blocks])
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_progressive_spectral_bands():
+    """AC band split across two scans (1..5, 6..63) plus a ZRL-range
+    coefficient decodes identically to baseline."""
+    zz = [0] * 64
+    zz[0], zz[3], zz[20], zz[45] = 4, 5, -7, 3
+    prog = (
+        _prog_gray_head(8, 8)
+        + _dc_first_scan([zz[0]], 0)
+        + _ac_first_scan([zz], 1, 5, 0)
+        + _ac_first_scan([zz], 6, 63, 0)
+        + b"\xff\xd9"
+    )
+    assert np.array_equal(
+        decode_jpeg(prog), decode_jpeg(make_gray_jpeg([[zz]]))
+    )
+
+
+def test_progressive_newly_significant_in_refinement():
+    """A magnitude-1 coefficient invisible at Al=1 must be inserted
+    by the refinement scan's ±1 path (G.1.2.3)."""
+    zz = [0] * 64
+    zz[0], zz[2], zz[10] = 4, 1, 3
+    prog = (
+        _prog_gray_head(8, 8)
+        + _dc_first_scan([4], 0)
+        + _ac_first_scan([zz], 1, 63, 1)
+        + _ac_refine_scan([zz], 1, 63, 0)
+        + b"\xff\xd9"
+    )
+    assert np.array_equal(
+        decode_jpeg(prog), decode_jpeg(make_gray_jpeg([[zz]]))
+    )
+
+
+def test_progressive_color_interleaved_dc():
+    """3-component interleaved DC scan (the standard progressive
+    opener) against the flat baseline color file."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA[0]) + DC_LUMA[1])
+    w = _BitWriter()
+    for dc in (4, 8, -8):  # Y, Cb, Cr — each its own predictor
+        t, bits = _magnitude(dc)
+        ln, code = DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            w.put(bits, t)
+    w.pad()
+    sos = _prog_sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 0)
+    prog = b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(make_color_jpeg(4, 8, -8)))
+
+
+def test_progressive_420_noninterleaved_ac_grid():
+    """8×8 image with 4:2:0 sampling: the luma AC scan iterates the
+    component's TRUE 1×1 block grid, not the 2×2 padded MCU grid."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", 8, 8)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_LUMA[0]) + DC_LUMA[1]) + _seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUMA_COUNTS) + AC_LUMA_SYMS
+    )
+    # interleaved DC: 4 padded Y blocks + Cb + Cr
+    w = _BitWriter()
+    pred = 0
+    for dc in (4, 4, 4, 4):  # Y blocks share a predictor chain
+        t, bits = _magnitude(dc - pred)
+        ln, code = DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            w.put(bits, t)
+        pred = dc
+    for dc in (8, -8):  # Cb, Cr fresh predictors
+        t, bits = _magnitude(dc)
+        ln, code = DC_CODES[t]
+        w.put(code, ln)
+        if t:
+            w.put(bits, t)
+    w.pad()
+    dc_scan = _prog_sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 0) + bytes(w.out)
+    # luma AC over the true 1-block grid
+    zz_y = [0] * 64
+    zz_y[1] = 3
+    ac_scan = _ac_first_scan([zz_y], 1, 63, 0, cid=1)
+    prog = b"\xff\xd8" + dqt + sof + dht + dc_scan + ac_scan + b"\xff\xd9"
+    img = decode_jpeg(prog)
+    assert img.shape == (8, 8, 3)
+    # baseline equivalent: one MCU, luma block 0 carries the AC term
+    zz_pad = [0] * 64
+    zz_pad[0] = 4
+    zz0 = list(zz_pad)
+    zz0[1] = 3
+    base = make_420_jpeg([4, 4, 4, 4], 8, -8)
+    # patch not practical — assert against reference IDCT directly
+    dense = [[0] * 8 for _ in range(8)]
+    dense[0][0], dense[ZZ[1][0]][ZZ[1][1]] = 4, 3
+    # mirror the decoder's two-stage rounding: planes quantize to
+    # uint8 BEFORE the color transform
+    y = np.clip(np.round(_ref_idct(np.array(dense) * 16.0) + 128), 0, 255)
+    cb, cr = 16.0, -16.0
+    want = np.clip(np.round(np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)), 0, 255).astype(np.uint8)
+    assert np.array_equal(img, want)
+    del base
 
 
 def test_odd_dimensions_crop():
