@@ -21,9 +21,13 @@ round is a Spark plan over the DISTINCT-word symbol table:
 
 The driver loop is O(n_merges) tiny actions; each round's transform
 is lazy-chained and checkpoint-truncated every few rounds so the
-lineage doesn't grow unboundedly.  Differentially tested against an
-independent pure-Python BPE (tests/test_bpe.py); the round-1 pair
-count is the SQL-expressible catalog surface (`bpe_pairs`).
+lineage doesn't grow unboundedly.  ``learn_bpe_batched`` cuts that
+to O(n_merges/k) rounds by applying up to k symbol-disjoint merges
+per round in one fold (the standard batching trick; deviation from
+strict-sequential order characterized in the differential test).
+Differentially tested against an independent pure-Python BPE
+(tests/test_bpe.py); the round-1 pair count is the SQL-expressible
+catalog surface (`bpe_pairs`).
 """
 
 from __future__ import annotations
@@ -102,6 +106,115 @@ def merge_pair(symbols: DataFrame, a: str, b: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))),
         ),
     )
+
+
+def merge_pairs(
+    symbols: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a batch of symbol-DISJOINT merges in ONE fold pass.
+
+    Precondition (enforced by select_disjoint): no pair's symbols —
+    nor its merged token — appear in any other pair of the batch.
+    Under that condition the single left-to-right fold is exactly
+    equivalent to applying the merges sequentially in any order:
+    merging (a,b) can only change adjacencies that involve a or b,
+    which no other pair of the batch touches."""
+    if len(pairs) == 1:
+        return merge_pair(symbols, *pairs[0])
+    kv: list = []
+    for a, b in pairs:
+        # NUL can't occur in [a-z0-9]+ symbols or the EOW marker
+        kv.extend([F.lit(a + "\x00" + b), F.lit(a + b)])
+    mp = F.create_map(*kv)
+
+    def step(acc, x):
+        merged = F.element_at(
+            mp, F.concat(F.element_at(acc, -1), F.lit("\x00"), x)
+        )
+        return F.when(
+            (F.size(acc) > 0) & merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return symbols.withColumn(
+        "syms",
+        F.aggregate("syms", F.expr("cast(array() as array<string>)"), step),
+    )
+
+
+def select_disjoint(
+    top_rows, k: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Greedy prefix of the count-ordered candidate list whose pairs
+    share NO symbols (including each pair's merged token, so a later
+    merge can never consume an earlier one's output).  The first
+    selected pair is always the round's true sequential argmax."""
+    used: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for r in top_rows:
+        if r["pc"] < min_count:
+            break
+        a, b = r["a"], r["b"]
+        if {a, b, a + b} & used:
+            continue
+        out.append((a, b))
+        used |= {a, b, a + b}
+        if len(out) == k:
+            break
+    return out
+
+
+def learn_bpe_batched(
+    docs: DataFrame,
+    n_merges: int,
+    k: int = 16,
+    text_col: str = "text",
+    candidate_factor: int = 4,
+    checkpoint_every: int = 4,
+) -> tuple[list[tuple[str, str]], DataFrame, int]:
+    """Batched BPE training: each round collects the top
+    ``candidate_factor*k`` pairs once, greedily keeps up to ``k``
+    symbol-disjoint ones and applies them in a single fold — cutting
+    the driver loop from O(n_merges) jobs to O(n_merges/k).
+
+    Deviation from strict sequential BPE, characterized in
+    tests/test_bpe.py: within one batch, pairs after the first are
+    the best DISJOINT candidates of the round's counts, whereas
+    sequential BPE would recount after each merge and could prefer a
+    pair involving a just-merged token.  Batch merges therefore can
+    differ from the sequential list when a freshly merged symbol
+    immediately dominates the next round — the classic scalability
+    trade (the same one tokenizers like SentencePiece's BPE mode
+    accept when pruning candidate queues).  ``learn_bpe`` remains
+    the exact-sequential reference path.
+
+    Returns (merges in application order, final symbol table, number
+    of Spark rounds driven)."""
+    syms = initial_symbols(word_counts(docs, text_col)).persist()
+    syms.count()
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        want = min(k, n_merges - len(merges))
+        top = (
+            pair_counts(syms)
+            .orderBy(F.desc("pc"), "a", "b")
+            .limit(max(candidate_factor * k, want))
+            .collect()
+        )
+        batch = select_disjoint(top, want)
+        if not batch:
+            break
+        merges.extend(batch)
+        old = syms
+        syms = merge_pairs(syms, batch)
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+        syms = syms.persist()
+        syms.count()
+        old.unpersist()
+    return merges, syms, rounds
 
 
 def learn_bpe(
