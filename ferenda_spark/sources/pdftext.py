@@ -24,15 +24,22 @@ Arrow-batched mapInPandas stage (sources/office.py read_office) —
 no shuffle, no driver involvement; the layout model never leaves
 the executor.
 
-Honest seams kept: no CTM (`cm`) tracking (text in rotated/scaled
-coordinate systems orders by its untransformed anchors), glyph
-widths estimated as 0.5 em (real width arrays add little for
-ordering), scanned/OCR PDFs still need external OCR as they did in
-the reference (pdfreader.py:213-330).
+The CTM (`cm`, q/Q) is threaded through the text machine, so
+rotated/scaled text gets DEVICE-space anchors and a quantized
+baseline direction; order_runs maps the page-dominant rotation back
+into reading space before ordering.  Image-only (scanned) PDFs are
+detected and routed through a pluggable OCR seam
+(extract_pdf_text_ocr — default raises, like the multimodal
+decode_fn contract; reference: pdfreader.py:213-330).
+
+Honest seams kept: glyph widths estimated as 0.5 em (real width
+arrays add little for ordering), OCR itself needs a deployment-
+supplied engine.
 """
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 from dataclasses import dataclass
@@ -323,6 +330,12 @@ class Run:
     size: float
     text: str
     seq: int  # emission order, the tie-break
+    #: baseline direction quantized to quarter turns (0=normal,
+    #: 1=rotated 90° CCW, 2=upside down, 3=90° CW) — from the
+    #: combined Tm·CTM, so both text-matrix and `cm` rotations land
+    #: here; order_runs uses the page-dominant value to map anchors
+    #: into reading space
+    rot: int = 0
 
 
 #: average glyph advance as a fraction of the font size — the
@@ -345,6 +358,13 @@ def interpret_text_ops(
     # text state
     a, b, c, d, e, f = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0  # Tm
     la, lb, lc, ld, le, lf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0  # Tlm
+    # graphics state: the current transformation matrix (`cm`
+    # premultiplies; q/Q save/restore) — anchors are emitted in
+    # DEVICE space, Tm·CTM, so rotated/scaled text (pdftohtml hands
+    # the reference transformed coordinates the same way,
+    # pdfreader.py) keeps meaningful layout positions
+    ca, cb, cc, cd, ce, cf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0  # CTM
+    gs_stack: list[tuple] = []
     size, leading = 12.0, 0.0
     cmap: CMap | None = None
     positioned = False
@@ -363,11 +383,27 @@ def interpret_text_ops(
         return raw.decode("latin-1")
 
     def emit(text: str):
-        nonlocal e, seq
+        nonlocal e, f, seq
         if text:
-            runs.append(Run(e, f, size, text, seq))
+            # device-space anchor + effective size + quantized
+            # baseline direction from the combined Tm·CTM
+            x_dev = e * ca + f * cc + ce
+            y_dev = e * cb + f * cd + cf
+            bx = a * ca + b * cc  # baseline direction (unit text x)
+            by = a * cb + b * cd
+            vx = c * ca + d * cc  # glyph-up direction (unit text y)
+            vy = c * cb + d * cd
+            size_dev = size * math.hypot(vx, vy) or size
+            rot = round(math.atan2(by, bx) / (math.pi / 2)) % 4 if (
+                bx or by
+            ) else 0
+            runs.append(Run(x_dev, y_dev, size_dev, text, seq, rot))
             seq += 1
-        e += _EM * size * len(text) * a  # advance along the baseline
+        # advance along the baseline: a text-space displacement w
+        # updates the text matrix translation through (a, b)
+        w = _EM * size * len(text)
+        e += w * a
+        f += w * b
 
     def tstar():
         nonlocal a, b, c, d, e, f, la, lb, lc, ld, le, lf
@@ -423,6 +459,23 @@ def interpret_text_ops(
                     positioned = True
                     a, b, c, d, e, f = (float(v) for v in stack[-6:])
                     la, lb, lc, ld, le, lf = a, b, c, d, e, f
+                elif op == b"cm" and len(stack) >= 6:
+                    m0, m1, m2, m3, m4, m5 = (
+                        float(v) for v in stack[-6:]
+                    )
+                    ca, cb, cc, cd, ce, cf = (
+                        m0 * ca + m1 * cc,
+                        m0 * cb + m1 * cd,
+                        m2 * ca + m3 * cc,
+                        m2 * cb + m3 * cd,
+                        m4 * ca + m5 * cc + ce,
+                        m4 * cb + m5 * cd + cf,
+                    )
+                elif op == b"q":
+                    gs_stack.append((ca, cb, cc, cd, ce, cf))
+                elif op == b"Q":
+                    if gs_stack:
+                        ca, cb, cc, cd, ce, cf = gs_stack.pop()
                 elif op == b"T*":
                     positioned = positioned or leading != 0.0
                     tstar()
@@ -451,6 +504,7 @@ def interpret_text_ops(
                                 emit(decode(el))
                             elif isinstance(el, (int, float)):
                                 e -= el / 1000.0 * size * a
+                                f -= el / 1000.0 * size * b
             except (ValueError, TypeError):
                 pass  # malformed operands: skip the op, keep scanning
             stack.clear()
@@ -527,7 +581,36 @@ def _join_line(line: list[Run]) -> str:
     return "".join(parts)
 
 
+def _dominant_rot(runs: list[Run]) -> int:
+    """Page-dominant baseline direction, weighted by glyph count."""
+    from collections import Counter
+
+    wt: Counter = Counter()
+    for r in runs:
+        wt[r.rot] += len(r.text)
+    return wt.most_common(1)[0][0] if wt else 0
+
+
+def _to_reading(runs: list[Run], rot: int) -> list[Run]:
+    """Rotate device anchors by -rot·90° so the dominant baseline
+    points +x and lines stack down -y — after which the standard
+    ordering (y desc, x asc) IS reading order for rotated pages."""
+    if rot == 0:
+        return runs
+    out = []
+    for r in runs:
+        if rot == 1:
+            x, y = r.y, -r.x
+        elif rot == 2:
+            x, y = -r.x, -r.y
+        else:
+            x, y = -r.y, r.x
+        out.append(Run(x, y, r.size, r.text, r.seq, 0))
+    return out
+
+
 def order_runs(runs: list[Run], page_w: float) -> str:
+    runs = _to_reading(runs, _dominant_rot(runs))
     gutter = find_gutter(runs, page_w)
     cols = (
         [[r for r in runs if r.x < gutter], [r for r in runs if r.x >= gutter]]
@@ -584,3 +667,117 @@ def extract_pdf_text_positional(
     if not pages or not any_positioned:
         return None if not pages else "\n".join(pages)
     return "\n".join(pages)
+
+
+# ------------------------------------------------------------ OCR seam
+
+#: image filters worth handing to an OCR engine, mapped to the media
+#: type the payload bytes carry after stream extraction
+_IMAGE_FILTERS = {
+    b"DCTDecode": "image/jpeg",
+    b"JPXDecode": "image/jp2",
+    b"CCITTFaxDecode": "image/ccitt",
+    b"FlateDecode": "image/raw",
+}
+
+
+def pdf_image_xobjects(payload: bytes) -> list[tuple[str, bytes]]:
+    """(media_type, raw stream bytes) for every /Subtype /Image
+    XObject in the file — the scanned-page payloads an OCR engine
+    consumes.  Flate-wrapped raw bitmaps are inflated; compressed
+    formats (DCT/JPX/CCITT) pass through byte-identical."""
+    out: list[tuple[str, bytes]] = []
+    for m in _STREAM_IN_OBJ_RE.finditer(payload):
+        sdict, body = m.group(1), m.group(2)
+        if b"/Image" not in sdict or b"/Subtype" not in sdict:
+            continue
+        mt = "image/raw"
+        for flt, typ in _IMAGE_FILTERS.items():
+            if flt in sdict:
+                mt = typ
+                break
+        if mt == "image/raw" and b"FlateDecode" in sdict:
+            inflated = _inflate(sdict, body)
+            if inflated is None:
+                continue
+            body = inflated
+        out.append((mt, body))
+    return out
+
+
+def is_image_only_pdf(payload: bytes) -> bool:
+    """True when the file has at least one image XObject and NO
+    text-showing operators in any parseable content stream — the
+    scanned-document signature (reference capability: ferenda's
+    pdfreader falls back to OCR exactly here, pdfreader.py:213-330
+    convert_to_hocr)."""
+    if not pdf_image_xobjects(payload):
+        return False
+    fonts = document_fonts(payload)
+    for m in _STREAM_IN_OBJ_RE.finditer(payload):
+        sdict = m.group(1)
+        if b"/Image" in sdict and b"/Subtype" in sdict:
+            continue
+        body = _inflate(sdict, m.group(2))
+        if body is None:
+            continue
+        runs, _pos = interpret_text_ops(body, fonts)
+        if any(r.text.strip() for r in runs):
+            return False
+    return True
+
+
+def _default_ocr(image_bytes: bytes, media_type: str) -> str:
+    raise NotImplementedError(
+        "image-only PDF: no OCR engine in this container — supply "
+        "ocr_fn(image_bytes, media_type) -> str built on a real OCR "
+        "stack (tesseract etc.) at deployment; the detection, stream "
+        "extraction and Spark plumbing around this seam are real and "
+        "tested (mirror of the multimodal decode_fn contract; "
+        "reference capability: pdfreader.py:213-330 convert_to_hocr)"
+    )
+
+
+def extract_pdf_text_ocr(payload: bytes, ocr_fn=None) -> str | None:
+    """Text for an image-only PDF via the pluggable OCR seam; None
+    when the file is NOT image-only (callers use the normal text
+    extractor).  The default ocr_fn raises NotImplementedError — the
+    same contract as multimodal.decode_videos' ffmpeg seam."""
+    if not is_image_only_pdf(payload):
+        return None
+    fn = ocr_fn or _default_ocr
+    texts = [fn(body, mt) for mt, body in pdf_image_xobjects(payload)]
+    return "\n".join(t for t in texts if t and t.strip())
+
+
+def ocr_pdf_pages(pdfs, ocr_fn, url_col: str = "url",
+                  payload_col: str = "payload"):
+    """Distributed OCR stage: (url, payload:binary) of scanned PDFs
+    → pages-schema rows, text from the supplied OCR fn (an
+    Arrow-batched mapInPandas, per-row byte work, no shuffle — the
+    same plumbing shape as office.read_office).  Rows that are not
+    image-only PDFs, or whose OCR fn fails, are dropped like any
+    other corrupt payload in the codec family."""
+    import pandas as pd
+
+    from ferenda_spark.sources.pages import PAGES_SCHEMA
+
+    src = pdfs.selectExpr(f"{url_col} as url", f"{payload_col} as payload")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, p in zip(pdf["url"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    text = extract_pdf_text_ocr(bytes(p), ocr_fn)
+                except (ValueError, NotImplementedError):
+                    continue
+                if text:
+                    rows.append((url, None, None, text, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAGES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, PAGES_SCHEMA)

@@ -285,6 +285,151 @@ def test_pdf_margin_metrics():
     assert met["leftmargin"] == 72
 
 
+def test_pdf_rotated_text_orders_correctly():
+    """90°-CCW-rotated text via Tm rotation matrices: the CTM/Tm
+    machine quantizes the baseline direction and order_runs maps
+    anchors into reading space, so lines come out in reading order
+    (VERDICT r4 item 5; the reference gets transformed coordinates
+    from pdftohtml for free, pdfreader.py)."""
+    from ferenda_spark.sources.pdftext import extract_pdf_text_positional
+
+    lines = [f"rotated line {i} with words" for i in range(6)]
+    # baseline points +y (90 CCW): successive lines advance in +x
+    ops = [
+        f"BT /F1 10 Tf 0 1 -1 0 {100 + 14 * i} 80 Tm ({t}) Tj ET"
+        for i, t in enumerate(lines)
+    ]
+    # emission order scrambled: only coordinates can restore order
+    content = "\n".join(ops[::2] + ops[1::2]).encode()
+    objs = (
+        b"3 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n"
+        + _stream_obj(4, content)
+    )
+    got = extract_pdf_text_positional(_wrap_pdf(objs))
+    assert got.split("\n") == lines
+
+
+def test_pdf_cm_rotation_matches_tm_rotation():
+    """The same rotation expressed as a `cm` CTM (inside q/Q) must
+    decode identically to the Tm form — the CTM is threaded through
+    the anchor computation."""
+    from ferenda_spark.sources.pdftext import extract_pdf_text_positional
+
+    lines = [f"ctm line {i} alpha beta" for i in range(5)]
+    # cm [0 1 -1 0 tx ty] composes to exactly the matrix the Tm
+    # fixture uses, so the two files are geometrically identical
+    content = "\n".join(
+        f"q 0 1 -1 0 {100 + 14 * i} 80 cm BT /F1 10 Tf ({t}) Tj ET Q"
+        for i, t in enumerate(lines)
+    ).encode()
+    objs = (
+        b"3 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n"
+        + _stream_obj(4, content)
+    )
+    got = extract_pdf_text_positional(_wrap_pdf(objs))
+    assert got.split("\n") == lines
+
+
+def test_pdf_cm_scale_preserves_order_and_scales_size():
+    """A 0.5-scale CTM halves device anchors and effective sizes but
+    must not disturb reading order."""
+    from ferenda_spark.sources.pdftext import (
+        _STREAM_IN_OBJ_RE,
+        _inflate,
+        document_fonts,
+        extract_pdf_text_positional,
+        interpret_text_ops,
+    )
+
+    lines = [f"scaled line {i} words here" for i in range(4)]
+    ops = "\n".join(
+        f"BT /F1 12 Tf 72 {700 - 16 * i} Td ({t}) Tj ET"
+        for i, t in enumerate(lines)
+    )
+    content = ("q 0.5 0 0 0.5 10 20 cm\n" + ops + "\nQ").encode()
+    objs = (
+        b"3 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n"
+        + _stream_obj(4, content)
+    )
+    pdf = _wrap_pdf(objs)
+    assert extract_pdf_text_positional(pdf).split("\n") == lines
+    m = next(_STREAM_IN_OBJ_RE.finditer(pdf))
+    runs, _ = interpret_text_ops(
+        _inflate(m.group(1), m.group(2)), document_fonts(pdf)
+    )
+    first = [r for r in runs if r.text == lines[0]][0]
+    assert first.x == 72 * 0.5 + 10 and first.y == 700 * 0.5 + 20
+    assert first.size == 6.0 and first.rot == 0
+
+
+def make_scanned_pdf(n_images: int = 2) -> bytes:
+    """Image-only PDF: /Image XObjects (fake JPEG payloads), zero
+    text operators — the scanned-document shape."""
+    objs = b"3 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n"
+    for i in range(n_images):
+        body = b"\xff\xd8\xff" + bytes([i]) * 32  # JPEG-magic payload
+        objs += _stream_obj(
+            4 + i, body,
+            extra=b"/Subtype /Image /Filter /DCTDecode "
+            b"/Width 100 /Height 140 ",
+        )
+    return _wrap_pdf(objs)
+
+
+def test_ocr_seam_detection_and_default_raises():
+    """Image-only detection fires only when no text ops exist; the
+    default OCR fn raises NotImplementedError (the multimodal
+    decode_fn contract), and a supplied fn gets each image stream."""
+    import pytest
+
+    from ferenda_spark.sources.pdftext import (
+        extract_pdf_text_ocr,
+        is_image_only_pdf,
+        pdf_image_xobjects,
+    )
+
+    scanned = make_scanned_pdf(2)
+    assert is_image_only_pdf(scanned)
+    imgs = pdf_image_xobjects(scanned)
+    assert len(imgs) == 2 and all(mt == "image/jpeg" for mt, _ in imgs)
+    with pytest.raises(NotImplementedError):
+        extract_pdf_text_ocr(scanned)
+    got = extract_pdf_text_ocr(
+        scanned, lambda b, mt: f"page({mt},{len(b)})"
+    )
+    assert got == "page(image/jpeg,35)\npage(image/jpeg,35)"
+    # a PDF WITH text ops is not image-only: seam returns None
+    texty, _, _ = make_two_column_pdf()
+    assert not is_image_only_pdf(texty)
+    assert extract_pdf_text_ocr(texty, lambda b, mt: "x") is None
+
+
+def test_ocr_pdf_pages_operator(spark):
+    """Distributed seam: scanned PDFs → pages rows via a fake OCR
+    fn; non-scanned and corrupt payloads drop (VERDICT r4 item 6)."""
+    from ferenda_spark.sources.pdftext import ocr_pdf_pages
+
+    texty, _, _ = make_two_column_pdf()
+    df = spark.createDataFrame(
+        [
+            ("http://a.org/scan.pdf", bytearray(make_scanned_pdf(2))),
+            ("http://a.org/text.pdf", bytearray(texty)),
+            ("http://a.org/null.pdf", None),
+        ],
+        "url string, payload binary",
+    )
+
+    def fake_ocr(img: bytes, mt: str) -> str:
+        return f"OCR text {img[3]}"
+
+    rows = {r["url"]: r for r in ocr_pdf_pages(df, fake_ocr).collect()}
+    assert set(rows) == {"http://a.org/scan.pdf"}
+    assert rows["http://a.org/scan.pdf"]["text"] == "OCR text 0\nOCR text 1"
+    assert rows["http://a.org/scan.pdf"]["html"] is None
+    # default (no engine): every row drops instead of crashing
+    assert ocr_pdf_pages(df, None).count() == 0
+
+
 def test_pdf_out_of_mediabox_runs_survive_stripping():
     """Runs with y slightly outside [0, page_h] (rounding /
     out-of-MediaBox text) must be clamped into the zone scan, not
