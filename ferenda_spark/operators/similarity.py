@@ -634,3 +634,293 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def _kmeans_l2(smat, n_centroids: int, iters: int, seed: int):
+    """Plain (L2) Lloyd k-means on a driver-resident sample — the PQ
+    sub-quantizer trainer.  Same bounded-driver-work contract as
+    _kmeans_spherical; an emptied cluster reseeds to the point with
+    the largest distance to its nearest centroid."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(smat)
+    cents = [smat[rng.randint(n)]]
+    for _ in range(1, n_centroids):
+        d = np.min(
+            ((smat[:, None, :] - np.stack(cents)[None, :, :]) ** 2).sum(-1),
+            axis=1,
+        )
+        cents.append(smat[int(np.argmax(d))])
+    c = np.stack(cents)
+    for _ in range(iters):
+        d = ((smat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d, axis=1)
+        newc = c.copy()
+        for j in range(n_centroids):
+            members = smat[assign == j]
+            if len(members):
+                newc[j] = members.mean(axis=0)
+            else:
+                dd = ((smat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                newc[j] = smat[int(np.argmax(np.min(dd, axis=1)))]
+        if np.allclose(newc, c):
+            c = newc
+            break
+        c = newc
+    return c
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: bool = False,
+    train_sample: int = 10_000,
+    train_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + product quantization (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public literature):
+    the memory-scale path past plain IVF.  Each corpus vector is
+    stored in the inverted lists as (coarse centroid id, m sub-space
+    code bytes) — ~(8+m) bytes instead of dim×4 — so the searchable
+    index for 10^9-10^10 vectors fits executor memory where raw
+    vectors cannot.  Queries probe `n_probe` coarse lists and rank
+    candidates by ADC (asymmetric distance computation): one
+    m×n_codes lookup table of sub-space inner products per query,
+    sim̂ = <q, c_coarse> + Σ_j LUT[j][code_j].
+
+    Metric: cosine via L2-normalized vectors; residual encoding
+    (x̂ = c + Σ_j cb_j[code_j]) over the normalized space.
+
+    Quantizer twins, mirroring ivf_topk:
+    - default (train=False): DETERMINISTIC — coarse centroids are
+      the n_centroids smallest-id vectors; sub-space codebooks are
+      the residual slices of the n_codes smallest-id vectors.  This
+      is the catalog/oracle path (the DuckDB twin derives the exact
+      same codebooks in SQL).
+    - train=True: spherical k-means coarse + per-sub-space L2
+      k-means on the SAME bounded sample's residuals — the
+      production quantizer, identical plan shape (codebooks are
+      still one broadcast).
+
+    Plan shape: broadcast quantizers; corpus encode = one BLAS pass
+    per Arrow batch emitting narrow (id, cid, codes) rows — THE
+    compressed index, the only corpus-sized table in play; query
+    pass emits (query_id, cid, cdot, lut); candidates = probe
+    equi-join on cid; ADC scoring is pure Catalyst
+    (zip_with + aggregate over the broadcast-joined LUT, sequential
+    summation matching the SQL twin's list_sum); top-k via a
+    per-query window.  Ranking uses sim rounded to 12 digits with an
+    id tie-break so cross-engine float noise cannot flip ranks.
+
+    Output (query_id, rank, neighbor_id), rank 1..k."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from ferenda_spark.operators.query import round_portable
+
+    first = corpus.select(_as_double(F.col(vec_col)).alias("v")).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long"
+        )
+    dim = len(first["v"])
+    if dim % m:
+        raise ValueError(f"ivfpq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _norm_rows(mat):
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        return mat / nrm[:, None]
+
+    if train:
+        sample_rows = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                _as_double(F.col(vec_col)).alias("v"),
+            )
+            .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+            .limit(int(train_sample))
+            .collect()
+        )
+        smat = _norm_rows(
+            np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+        )
+        cmat = _kmeans_spherical(
+            smat, min(n_centroids, len(smat)), train_iters, seed
+        )
+        # residuals of the sample under the trained coarse quantizer
+        asg = np.argmax(smat @ cmat.T, axis=1)
+        res = smat - cmat[asg]
+        books = np.stack(
+            [
+                _kmeans_l2(
+                    res[:, j * dsub : (j + 1) * dsub],
+                    min(n_codes, len(res)),
+                    train_iters,
+                    seed + 1 + j,
+                )
+                for j in range(m)
+            ]
+        )
+    else:
+        cent_rows = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                _as_double(F.col(vec_col)).alias("v"),
+            )
+            .orderBy("cid")
+            .limit(max(n_centroids, n_codes))
+            .collect()
+        )
+        allmat = _norm_rows(
+            np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+        )
+        cmat = allmat[:n_centroids]
+        # deterministic codebooks: residual slices of the smallest-id
+        # vectors under the same coarse quantizer
+        cb_src = allmat[:n_codes]
+        asg = np.lexsort(
+            (np.arange(cmat.shape[0])[None, :].repeat(len(cb_src), 0),
+             -(cb_src @ cmat.T)),
+            axis=1,
+        )[:, 0]
+        res = cb_src - cmat[asg]
+        books = np.stack(
+            [res[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast((cmat, books, dsub, m))
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        cmat_c, books_c, dsub_c, m_c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vid = pdf["id"].to_numpy(dtype=np.int64)
+            mat = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            )
+            sims = mat @ cmat_c.T
+            asg_b = np.lexsort(
+                (np.arange(cmat_c.shape[0])[None, :].repeat(len(mat), 0),
+                 -sims),
+                axis=1,
+            )[:, 0]
+            res_b = mat - cmat_c[asg_b]
+            codes = np.empty((len(mat), m_c), dtype=np.int32)
+            for j in range(m_c):
+                sub = res_b[:, j * dsub_c : (j + 1) * dsub_c]
+                d = (
+                    (sub[:, None, :] - books_c[j][None, :, :]) ** 2
+                ).sum(-1)
+                codes[:, j] = np.argmin(d, axis=1)  # first-min tie-break
+            yield pd.DataFrame(
+                {
+                    "id": vid,
+                    "cid": asg_b.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("cdot", T.DoubleType()),
+            T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def probe(batches):
+        cmat_c, books_c, dsub_c, m_c = bc.value
+        nb = min(n_probe, cmat_c.shape[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vid = pdf["id"].to_numpy(dtype=np.int64)
+            mat = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            )
+            sims = mat @ cmat_c.T
+            order = np.lexsort(
+                (np.arange(cmat_c.shape[0])[None, :].repeat(len(mat), 0),
+                 -sims),
+                axis=1,
+            )[:, :nb]
+            rows = []
+            for r_i in range(len(mat)):
+                lut = [
+                    list(
+                        mat[r_i, j * dsub_c : (j + 1) * dsub_c]
+                        @ books_c[j].T
+                    )
+                    for j in range(m_c)
+                ]
+                for cid in order[r_i]:
+                    rows.append(
+                        (
+                            int(vid[r_i]),
+                            int(cid),
+                            float(sims[r_i, cid]),
+                            lut,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "cid", "cdot", "lut"]
+            )
+
+    csrc = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    qsrc = queries.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    lists = csrc.mapInPandas(encode, enc_schema)
+    probes = qsrc.mapInPandas(probe, probe_schema)
+
+    # ADC score — pure Catalyst over the joined code/LUT arrays:
+    # sequential fold, same summation order as the SQL twin
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probes.join(lists, "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            round_portable(F.col("cdot") + adc, 12).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

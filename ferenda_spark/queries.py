@@ -1468,6 +1468,86 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 
 """
 
 
+ANN_PQ_M = 4  # sub-quantizers (64-dim embeddings -> 16-dim slices)
+ANN_PQ_CODES = 16
+ANN_PQ_DIM = 64
+ANN_PQ_DSUB = ANN_PQ_DIM // ANN_PQ_M
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ ANN top-5 (similarity.ivfpq_topk): deterministic coarse
+    centroids (8 smallest-id vectors) + deterministic sub-space
+    codebooks (residual slices of the 16 smallest-id vectors), ADC
+    ranking over the probed lists.  The DuckDB twin derives the exact
+    same quantizers in SQL, so the compressed-index scale path is
+    value-checked end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=ANN_IVF_CENTROIDS,
+        n_probe=ANN_IVF_PROBE,
+        m=ANN_PQ_M,
+        n_codes=ANN_PQ_CODES,
+    )
+
+
+ORACLE_ANN_IVFPQ = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+n AS (SELECT vec_id,
+        list_transform(raw, x -> x / (CASE WHEN sqrt(list_dot_product(raw, raw)) = 0
+                                           THEN 1 ELSE sqrt(list_dot_product(raw, raw)) END)) AS v
+      FROM e),
+cent AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cidx, v AS cv
+         FROM (SELECT * FROM n ORDER BY vec_id LIMIT {ANN_IVF_CENTROIDS})),
+asg_r AS (SELECT n.vec_id, cent.cidx, cent.cv,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.v, cent.cv) DESC, cent.cidx
+                 ) AS rn
+          FROM n CROSS JOIN cent),
+asg AS (SELECT vec_id, cidx, cv FROM asg_r WHERE rn = 1),
+res AS (SELECT a.vec_id, a.cidx,
+               [n.v[i] - a.cv[i] for i in range(1, {ANN_PQ_DIM} + 1)] AS r
+        FROM asg a JOIN n ON a.vec_id = n.vec_id),
+cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS t, r FROM res
+       WHERE vec_id IN (SELECT vec_id FROM n ORDER BY vec_id LIMIT {ANN_PQ_CODES})),
+books AS (SELECT list(r ORDER BY t) AS bk FROM cb),
+subs AS (SELECT unnest(range(1, {ANN_PQ_M} + 1)) AS j),
+codes_r AS (SELECT res.vec_id, subs.j, cb.t,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY res.vec_id, subs.j
+                     ORDER BY list_sum([
+                       (res.r[(subs.j-1)*{ANN_PQ_DSUB}+i] - cb.r[(subs.j-1)*{ANN_PQ_DSUB}+i])
+                       * (res.r[(subs.j-1)*{ANN_PQ_DSUB}+i] - cb.r[(subs.j-1)*{ANN_PQ_DSUB}+i])
+                       for i in range(1, {ANN_PQ_DSUB} + 1)]), cb.t
+                   ) AS rn
+            FROM res CROSS JOIN subs CROSS JOIN cb),
+codes AS (SELECT vec_id, list(t ORDER BY j) AS ts
+          FROM codes_r WHERE rn = 1 GROUP BY vec_id),
+probe AS (SELECT vec_id AS query_id, cidx, cv FROM asg_r
+          WHERE vec_id < 10 AND rn <= {ANN_IVF_PROBE}),
+cand AS (SELECT p.query_id, p.cv, a.vec_id AS neighbor_id
+         FROM probe p JOIN asg a ON p.cidx = a.cidx
+         WHERE a.vec_id != p.query_id),
+adc AS (SELECT c.query_id, c.neighbor_id,
+               FLOOR((list_dot_product(q.v, c.cv) + list_sum([
+                   list_sum([ q.v[(j-1)*{ANN_PQ_DSUB}+i] * b.bk[cd.ts[j]][(j-1)*{ANN_PQ_DSUB}+i]
+                              for i in range(1, {ANN_PQ_DSUB} + 1)])
+                   for j in range(1, {ANN_PQ_M} + 1)])) * 1e12 + 0.5) / 1e12 AS sim
+        FROM cand c
+        JOIN n q ON c.query_id = q.vec_id
+        JOIN codes cd ON cd.vec_id = c.neighbor_id
+        CROSS JOIN books b),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM adc)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r WHERE rank <= 5
+"""
+
+
 def q_neardup_threshold(spark, sf_dir):
     """Exact all-pairs cosine ≥ 0.45 via the distributed
     block-matrix self-join (no driver collect; see
@@ -3117,6 +3197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filters": q_search_filters,
         # ---- past the observed driver window: selection/relational
         # twins (plans subsumed above; selfcheck + pytest guarded)
+        "ann_ivfpq": q_ann_ivfpq,
         "dup_spans": q_dup_spans,
         "dup_span_cut": q_dup_span_cut,
         "weighted_sample": q_weighted_sample,
@@ -3200,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "ann_bruteforce": ORACLE_ANN,
         "ann_ivf": ORACLE_ANN_IVF,
+        "ann_ivfpq": ORACLE_ANN_IVFPQ,
         "neardup_threshold": ORACLE_NEARDUP,
         "search_filters": ORACLE_SEARCH,
         "search_facets": ORACLE_SEARCH_FACETS,

@@ -382,6 +382,109 @@ def test_frame_sample_plan_skips_missing_duration(spark):
     assert got == [(1, 0), (1, 1000), (1, 2000)]
 
 
+def test_ivfpq_recall_vs_ivf_and_contract(spark, embeddings):
+    """IVF+PQ (VERDICT r4 item 7) vs plain IVF under the SAME coarse
+    quantizer and probe budget.  What PQ guarantees: identical
+    routing (its results come from exactly the lists IVF probes) and
+    ranking QUALITY far above chance within those lists — the exact
+    rank permutation is NOT preserved when true-neighbor sim gaps
+    sit below the quantization error (random sf embeddings are that
+    regime), so the assertion compares the mean TRUE similarity of
+    PQ's picks against the candidate-set mean, not set equality.
+    Contract: dense ranks, self excluded."""
+    import numpy as np
+
+    probes = embeddings.filter(F.col("vec_id") < 5)
+    # full candidate ranking from IVF (k large enough to keep every
+    # candidate of the probed lists)
+    ivf_all = S.ivf_topk(
+        embeddings, probes, k=10_000, n_centroids=8, n_probe=4
+    ).collect()
+    cand = {}
+    for r in ivf_all:
+        cand.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    got = S.ivfpq_topk(
+        embeddings, probes, k=5, n_centroids=8, n_probe=4, m=4, n_codes=16
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        assert r.query_id != r.neighbor_id
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+
+    def sim(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(
+            va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+
+    for q, picks in per_q.items():
+        ranks = sorted(rk for rk, _ in picks)
+        assert ranks == list(range(1, len(ranks) + 1))
+        cand_ids = [n for _, n in cand[q]]
+        # routing: PQ results all come from the probed lists
+        assert {n for _, n in picks} <= set(cand_ids)
+        pq_mean = np.mean([sim(q, n) for _, n in picks])
+        all_mean = np.mean([sim(q, n) for n in cand_ids])
+        best_mean = np.mean(
+            sorted((sim(q, n) for n in cand_ids), reverse=True)[:5]
+        )
+        # PQ's 5 picks sit well above the candidate mean, toward the
+        # exact-top-5 mean
+        assert pq_mean > all_mean + 0.3 * (best_mean - all_mean), (
+            q, pq_mean, all_mean, best_mean
+        )
+
+
+def test_ivfpq_high_recall_on_tiered_corpus(spark):
+    """On a corpus whose true-neighbor sim gaps EXCEED the
+    quantization error (sub-clusters inside coarse cells — the
+    regime PQ is built for), trained IVF+PQ reaches high recall vs
+    exact search."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    rows = []
+    vid = 0
+    for c in range(4):  # coarse cells
+        proto = rng.normal(size=dim) * 10
+        for s in range(8):  # sub-clusters: the separated tiers
+            sub = proto + rng.normal(size=dim) * 3.0
+            for _ in range(5):
+                v = sub + rng.normal(size=dim) * 0.05
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") % 40 == 2)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, probes, k=4).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivfpq_topk(
+            emb, probes, k=4, n_centroids=8, n_probe=2,
+            m=4, n_codes=16, train=True,
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivfpq_rejects_indivisible_dim(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        S.ivfpq_topk(emb, emb, m=2)
+
+
 def test_ivf_trained_quantizer_beats_degenerate_deterministic(spark):
     """train=True (sampled spherical k-means, VERDICT r3 item 5) must
     match-or-beat the deterministic first-k-ids quantizer at equal
