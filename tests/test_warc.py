@@ -137,6 +137,83 @@ def test_read_warc_to_pages(spark, tmp_path):
     assert rows[0][1] == HTML1
 
 
+def test_record_index_extents_are_exact(spark, tmp_path):
+    """Every (offset, length) row reproduces its record standalone:
+    slicing the file at the extent parses to exactly one record —
+    for both per-member gz and plain layouts."""
+    import gzip as _g
+
+    from ferenda_spark.sources.warc import warc_record_index
+
+    p = tmp_path / "idx"
+    p.mkdir()
+    (p / "a.warc.gz").write_bytes(make_warc(True))
+    (p / "b.warc").write_bytes(make_warc(False))
+    idx = warc_record_index(spark, str(p)).collect()
+    by_file = {}
+    for r in idx:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(
+            (r["offset"], r["length"])
+        )
+    assert len(by_file["a.warc.gz"]) == 6  # one member per record
+    assert len(by_file["b.warc"]) == 6
+    raw_gz = (p / "a.warc.gz").read_bytes()
+    for off, ln in by_file["a.warc.gz"]:
+        piece = raw_gz[off : off + ln]
+        assert _g.decompress(piece).startswith(b"WARC/1.0")
+    # extents tile the gz file completely
+    assert sum(ln for _, ln in by_file["a.warc.gz"]) == len(raw_gz)
+    raw = (p / "b.warc").read_bytes()
+    for off, ln in by_file["b.warc"]:
+        assert raw[off : off + ln].startswith(b"WARC/1.0")
+
+
+def test_split_read_equals_whole_file_read(spark, tmp_path):
+    """The indexed range-reader returns row-for-row what the
+    whole-file reader returns, across multiple partitions and both
+    layouts (VERDICT r4 item 8)."""
+    from ferenda_spark.sources.warc import read_warc, read_warc_indexed
+
+    p = tmp_path / "split"
+    p.mkdir()
+    (p / "a.warc.gz").write_bytes(make_warc(True))
+    (p / "b.warc").write_bytes(make_warc(False))
+
+    def key(rows):
+        return sorted(
+            (r["url"], r["warc_ts"], bytes(r["html"])) for r in rows
+        )
+
+    whole = key(read_warc(spark, str(p)).collect())
+    split = key(read_warc_indexed(spark, str(p), partitions=7).collect())
+    assert split == whole and len(whole) == 4
+
+
+def test_split_read_lf_delimited(spark, tmp_path):
+    from ferenda_spark.sources.warc import read_warc_indexed
+
+    def lf_record(url, body):
+        payload = f"HTTP/1.1 200 X\nContent-Length: {len(body)}\n\n".encode() + body
+        hdr = (
+            f"WARC/1.0\nWARC-Type: response\n"
+            f"WARC-Date: 2024-03-01T12:00:00Z\n"
+            f"WARC-Target-URI: {url}\n"
+            f"Content-Length: {len(payload)}\n\n"
+        ).encode()
+        return hdr + payload + b"\n\n"
+
+    p = tmp_path / "lfidx"
+    p.mkdir()
+    (p / "c.warc").write_bytes(
+        lf_record("http://a.org/1", HTML1) + lf_record("http://a.org/2", HTML2)
+    )
+    rows = sorted(
+        r["url"]
+        for r in read_warc_indexed(spark, str(p), partitions=2).collect()
+    )
+    assert rows == ["http://a.org/1", "http://a.org/2"]
+
+
 def test_warc_feeds_the_extract_stage(spark, tmp_path):
     """End-to-end: raw Common-Crawl-style container → pages → the
     pipeline's extract stage pulls the body text (the KG tail then
