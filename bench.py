@@ -233,12 +233,11 @@ def main() -> None:
             "triples": n_triples2,
             "full_rebuild_sec": round(kg_secs, 3),
             "speedup_vs_full": round(kg_secs / inc_secs, 2),
-            # the delta advantage scales with corpus/tail ratio: the
-            # relational tail (global by design — canonicalization is
-            # a fixpoint) plus stored-state parquet reads are ~fixed,
-            # so at sf0.1 (5k docs) speedup hovers near 1x, while the
-            # same code measures 2.14x at 250k docs
-            # (BENCH/incremental_250k.json, BENCH/BASELINE.md)
+            # the delta advantage scales with corpus size: the
+            # delta-scoped tail (pipeline._delta_tail) leaves a fixed
+            # driver/job overhead that dominates at sf0.1 (5k docs,
+            # speedup <1x) and amortizes at corpus scale — 2.14x at
+            # 250k docs (BENCH/incremental_250k.json, BENCH/BASELINE.md)
             "note": "delta advantage grows with corpus; see BENCH/incremental_250k.json",
         }
         timings["kg_incremental"] = round(inc_secs, 3)
