@@ -330,6 +330,38 @@ def main():
         )
     )
 
+    # 11b. delta-scoped tail: the kept-prior-triples slice is a
+    # broadcast anti-join on the (tiny) rework doc-URI set — the
+    # prior triples table is scanned once, never shuffled
+    checks.append(
+        (
+            "incremental_triples_delta",
+            inc.triples,
+            [
+                ("rework set broadcast", lambda p: "BroadcastHashJoin" in p),
+                ("kept rows via anti-join", lambda p: "LeftAnti" in p),
+            ],
+        )
+    )
+
+    # 11c. IVF+PQ: encode/probe are Arrow-batched passes, ADC scoring
+    # is JVM column work over the joined code/LUT arrays, top-k is a
+    # per-query window — no row-at-a-time Python anywhere
+    from ferenda_spark.operators import similarity as S_
+
+    emb_ = spark.read.parquet(f"{SF}/embeddings.parquet")
+    checks.append(
+        (
+            "ann_ivfpq",
+            S_.ivfpq_topk(emb_, emb_.filter(F.col("vec_id") < 3), k=3),
+            [
+                ("encode/probe are Arrow passes", lambda p: "MapInPandas" in p),
+                ("no row-at-a-time Python", lambda p: "BatchEvalPython" not in p),
+                ("per-query top-k window", lambda p: "Window" in p),
+            ],
+        )
+    )
+
     # 12. RDF bulk I/O + BGP compiler over a parquet triples table
     # (the committed fixture stands in for the production store):
     # serialization is a codegen'd projection, BGP pattern scans push
