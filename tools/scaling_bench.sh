@@ -250,7 +250,7 @@ window-overlap column verifies simultaneity.
 {sy['scaling_efficiency']}** (target ≥ 0.8 →
 {"PASS" if sy["pass"] else "FAIL"}); best pair
 {sy['best_pair']['efficiency']}, worst pair
-{sy.get('min_efficiency')} — every pair clears the target.
+{sy.get('min_efficiency')}.
 Where a pair carries `strict_same_window_eff`, only wide builds
 whose [start, end] lie fully inside the narrow side's measured
 window competed, ruling out a wide best taken after the narrow job
@@ -297,7 +297,19 @@ warm in-JVM builds, a symmetric-in-fraction JIT exclusion.
 {crows}
 
 **Cluster-mode scaling efficiency (median): {cl['scaling_efficiency']}**
-(target ≥ 0.8 → {"PASS" if cl["pass"] else "FAIL"}). Raw JSON:
+(target ≥ 0.8 → {"PASS" if cl["pass"] else "FAIL"}); every pair's
+steady efficiency is listed above.  An efficiency above 1 is
+measurement slack plus the narrow side's real per-build fixed cost
+(2 executors amortize driver coordination over a 4×-longer build;
+at this corpus size that fixed share is visible) — read it as "no
+measurable coordination loss at 4× executors".  A same-day run of
+this protocol at 100k docs
+(`BENCH/archive_pre_r5/cluster_sync_100k_r5.json`) measured 0.678
+under heavy neighbor load: the wide side's eight concurrent
+executor JVMs are the first to lose when the host's memory-gather
+bandwidth is contended (see the calibration note below) — the
+spread is the VM, not the job, which is why this protocol runs both
+sides simultaneously and is read per-pair.  Raw JSON:
 `BENCH/cluster_sync.json`, `BENCH/cluster_{{narrow,wide}}_p*.json`.
 """
 except FileNotFoundError:
@@ -446,10 +458,15 @@ its own cores and memory), then one local[8] on the same 8 CPUs.
   the host actually grants 8 concurrent cores (job-independent).
 - **job_scaling_efficiency = {ctl['job_scaling_efficiency']}** (target
   ≥ 0.8 → {'PASS' if ctl['job_scaling_pass'] else 'FAIL'}) — the
-  job's own N→4N efficiency with host capacity held constant: the
-  number a real 4N-executor cluster sees, since on a real cluster
-  each executor brings its own cores and memory (the control IS
-  4N independent executors' worth of capacity).
+  single-JVM local[8] throughput against 4 independent narrow JVMs'
+  aggregate in the adjacent window.  Two caveats when reading it:
+  the ctrl and wide phases are adjacent sub-windows, not one window,
+  so a weather swing between them lands entirely in this ratio; and
+  the 4-independent-JVM topology is exactly what a REAL cluster of
+  single-core executors looks like — the directly-measured
+  real-cluster protocol above is therefore the authoritative
+  executor-scaling number, while this decomposition bounds the
+  additional cost of sharing one JVM/heap at local[8].
 - same-window raw = host_capacity × job_scaling =
   {ctl['raw_efficiency']} (vs the cross-window best-of raw above,
   which additionally mixes weather).
@@ -488,12 +505,14 @@ best-of protocol, local[32], one JVM, same window:
 
 **{i['speedup_vs_full']}× faster while covering a larger snapshot.**
 The split matches the architecture: the Python stages
-(extract/FSM/mentions) drop to O(|delta|); the remainder is the
-relational tail (emit → CC → rewrite → relate), deliberately
-recomputed over the merged corpus because canonicalization is a
-global fixpoint — a per-doc patch of the triples table would be
-unsound.  At production recrawl ratios the tail is pure columnar
-work; the Python cost no longer scales with the corpus.  Raw JSON:
+(extract/FSM/mentions) drop to O(|delta|), and the relational tail
+is delta-scoped too (`pipeline._delta_tail`): canonicalization stays
+a global FIXPOINT — connected components still sees the complete
+sameAs population — but only components whose canonical root changed
+and documents that changed (or share a docid with one) are
+re-emitted and re-rewritten; untouched rows are kept verbatim from
+the prior triples table, so the corpus-sized work left is a few
+narrow-column broadcast-filtered scans.  Raw JSON:
 `BENCH/incremental_250k.json` (`BENCH_KG_ONLY=1 BENCH_KG_INC=1
 BENCH_KG_DOCS={inc['docs']} python bench.py`).
 """
