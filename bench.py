@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivfpq",
     "neardup_threshold",
     "repetition_signals",
     "host_split",
