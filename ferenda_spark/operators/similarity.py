@@ -491,6 +491,45 @@ def _kmeans_spherical(smat, n_centroids: int, iters: int, seed: int):
     return c
 
 
+def _vec_rows_smallest_ids(corpus, id_col, vec_col, n):
+    """(cid, v) rows of the n smallest-id vectors — the deterministic
+    quantizer source shared by ivf_topk and ivfpq_topk (the DuckDB
+    twins re-derive exactly this ORDER BY vec_id LIMIT n)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("cid")
+        .limit(n)
+        .collect()
+    )
+
+
+def _vec_rows_sample(corpus, id_col, vec_col, n):
+    """Deterministic bounded sample: md5-of-id order, so the trained
+    quantizers are reproducible without Date/rand — shared by both
+    trainers."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(int(n))
+        .collect()
+    )
+
+
+def _top_centroids(sims, n: int):
+    """Per-row top-n centroid POSITIONS by similarity desc, position
+    asc on ties — the one argmax/tie-break rule every quantizer
+    consumer (assign, probe, encode; Spark AND the SQL twins) must
+    share, so it lives in exactly one place."""
+    import numpy as np
+
+    idx = np.arange(sims.shape[1])[None, :].repeat(len(sims), 0)
+    return np.lexsort((idx, -sims), axis=1)[:, :n]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -541,15 +580,7 @@ def ivf_topk(
     import pyspark.sql.types as T
 
     if train:
-        sample_rows = (
-            corpus.select(
-                F.col(id_col).alias("cid"),
-                _as_double(F.col(vec_col)).alias("v"),
-            )
-            .orderBy(F.md5(F.col("cid").cast("string")), "cid")
-            .limit(int(train_sample))
-            .collect()
-        )
+        sample_rows = _vec_rows_sample(corpus, id_col, vec_col, train_sample)
         smat = np.stack(
             [np.asarray(r["v"], dtype=np.float64) for r in sample_rows]
         )
@@ -558,12 +589,7 @@ def ivf_topk(
         )
         cids = np.arange(len(cmat), dtype=np.int64)
     else:
-        cent_rows = (
-            corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("v"))
-            .orderBy("cid")
-            .limit(n_centroids)
-            .collect()
-        )
+        cent_rows = _vec_rows_smallest_ids(corpus, id_col, vec_col, n_centroids)
         cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
         cmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
     cnrm = np.linalg.norm(cmat, axis=1)
@@ -657,13 +683,16 @@ def _kmeans_l2(smat, n_centroids: int, iters: int, seed: int):
         d = ((smat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
         assign = np.argmin(d, axis=1)
         newc = c.copy()
+        # worst-served points first, popped one per empty cluster so
+        # two emptied clusters never reseed to the same point (which
+        # would leave duplicate codebook entries)
+        reseed = iter(np.argsort(-np.min(d, axis=1)))
         for j in range(n_centroids):
             members = smat[assign == j]
             if len(members):
                 newc[j] = members.mean(axis=0)
             else:
-                dd = ((smat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-                newc[j] = smat[int(np.argmax(np.min(dd, axis=1)))]
+                newc[j] = smat[int(next(reseed))]
         if np.allclose(newc, c):
             c = newc
             break
@@ -744,15 +773,7 @@ def ivfpq_topk(
         return mat / nrm[:, None]
 
     if train:
-        sample_rows = (
-            corpus.select(
-                F.col(id_col).alias("cid"),
-                _as_double(F.col(vec_col)).alias("v"),
-            )
-            .orderBy(F.md5(F.col("cid").cast("string")), "cid")
-            .limit(int(train_sample))
-            .collect()
-        )
+        sample_rows = _vec_rows_sample(corpus, id_col, vec_col, train_sample)
         smat = _norm_rows(
             np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
         )
@@ -774,14 +795,8 @@ def ivfpq_topk(
             ]
         )
     else:
-        cent_rows = (
-            corpus.select(
-                F.col(id_col).alias("cid"),
-                _as_double(F.col(vec_col)).alias("v"),
-            )
-            .orderBy("cid")
-            .limit(max(n_centroids, n_codes))
-            .collect()
+        cent_rows = _vec_rows_smallest_ids(
+            corpus, id_col, vec_col, max(n_centroids, n_codes)
         )
         allmat = _norm_rows(
             np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
@@ -790,11 +805,7 @@ def ivfpq_topk(
         # deterministic codebooks: residual slices of the smallest-id
         # vectors under the same coarse quantizer
         cb_src = allmat[:n_codes]
-        asg = np.lexsort(
-            (np.arange(cmat.shape[0])[None, :].repeat(len(cb_src), 0),
-             -(cb_src @ cmat.T)),
-            axis=1,
-        )[:, 0]
+        asg = _top_centroids(cb_src @ cmat.T, 1)[:, 0]
         res = cb_src - cmat[asg]
         books = np.stack(
             [res[:, j * dsub : (j + 1) * dsub] for j in range(m)]
@@ -819,11 +830,7 @@ def ivfpq_topk(
                 np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             )
             sims = mat @ cmat_c.T
-            asg_b = np.lexsort(
-                (np.arange(cmat_c.shape[0])[None, :].repeat(len(mat), 0),
-                 -sims),
-                axis=1,
-            )[:, 0]
+            asg_b = _top_centroids(sims, 1)[:, 0]
             res_b = mat - cmat_c[asg_b]
             codes = np.empty((len(mat), m_c), dtype=np.int32)
             for j in range(m_c):
@@ -860,11 +867,7 @@ def ivfpq_topk(
                 np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
             )
             sims = mat @ cmat_c.T
-            order = np.lexsort(
-                (np.arange(cmat_c.shape[0])[None, :].repeat(len(mat), 0),
-                 -sims),
-                axis=1,
-            )[:, :nb]
+            order = _top_centroids(sims, nb)
             rows = []
             for r_i in range(len(mat)):
                 lut = [

@@ -427,7 +427,7 @@ def incremental_kg(
             StorageLevel.MEMORY_AND_DISK
         )
         result = _finish_kg(spark, docs, segments, mentions, cfg)
-    result.cached = result.cached + (delta_pages, d_segments)
+    result.cached = result.cached + (delta_pages, d_segments, delta_urls)
     return result, delta_urls
 
 
@@ -517,34 +517,29 @@ def _delta_tail(
     # tables (non-candidate labels belong to untouched urls and are
     # in both by construction).  Unchanged set -> the prior canon
     # map IS the new one: the CC re-run and the remap diff are
-    # skipped outright — the common recrawl case.
-    cand = [
-        r[0]
-        for r in (
-            state.labels.join(delta_keys, "url", "left_semi")
-            .select("entity_label")
-            .unionByName(d_linked.select("entity_label"))
-            .filter(F.col("entity_label").isNotNull())
-            .distinct()
-            .collect()
-        )
-    ]
-    if cand:
-        new_has = {
-            r[0]
-            for r in labels_tbl.filter(
-                F.col("entity_label").isin(cand)
-            ).select("entity_label").distinct().collect()
-        }
-        old_has = {
-            r[0]
-            for r in state.labels.filter(
-                F.col("entity_label").isin(cand)
-            ).select("entity_label").distinct().collect()
-        }
-        labels_unchanged = new_has == old_has
-    else:
-        labels_unchanged = True
+    # skipped outright — the common recrawl case.  The probe is pure
+    # DataFrame algebra ending in one isEmpty action — candidate
+    # labels never transit the driver, matching the file's bounded-
+    # driver discipline (at 10^12 pages a few-percent delta can
+    # touch millions of labels).
+    cand = (
+        state.labels.join(delta_keys, "url", "left_semi")
+        .select("entity_label")
+        .unionByName(d_linked.select("entity_label"))
+        .filter(F.col("entity_label").isNotNull())
+        .distinct()
+    )
+    new_has = labels_tbl.join(cand, "entity_label", "left_semi").select(
+        "entity_label"
+    ).distinct().withColumn("_n", F.lit(1))
+    old_has = state.labels.join(cand, "entity_label", "left_semi").select(
+        "entity_label"
+    ).distinct().withColumn("_o", F.lit(1))
+    labels_unchanged = (
+        old_has.join(new_has, "entity_label", "full_outer")
+        .filter(F.col("_o").isNull() | F.col("_n").isNull())
+        .isEmpty()
+    )
 
     s_vals = None
     n_s = 0
@@ -645,11 +640,13 @@ def _delta_tail(
     rework = rewrite_triples(triples_raw, canon)
     triples = kept.unionByName(rework).persist(StorageLevel.MEMORY_AND_DISK)
 
-    doc_rows = segments.filter(F.col("kind") == "doc")
-    doc_directory = (
-        doc_rows.select("url", "docid")
-        .filter(F.col("docid").isNotNull())
-        .select(doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url")
+    # directory from the PERSISTED prior projection + delta doc rows
+    # (identical to a merged-segments projection, without re-scanning
+    # the stored segments lineage for every relate_edges count/join)
+    doc_directory = prior_dir.join(delta_keys, "url", "left_anti").unionByName(
+        d_doc_rows.filter(F.col("docid").isNotNull()).select(
+            doc_uri_col(cfg, F.col("docid")).alias("doc_uri"), "url"
+        )
     )
 
     # (7) edges: prior edge rows survive iff neither endpoint doc was
@@ -686,9 +683,16 @@ def _delta_tail(
     warnings = validate_required_predicates(triples).unionByName(
         validate_unique_resources(segments, cfg.max_resources)
     )
+    # contract for CHAINED incremental builds: kg_state() reads
+    # linked.select(url, entity_label) — labels_tbl IS that table
+    # corpus-wide, so the next round's delta tail stays engaged;
+    # mentions_t likewise stays the corpus-wide (lazy) emission input
+    corpus_mentions_t = mention_target_uri(mentions, cfg).filter(
+        F.col("docid").isNotNull()
+    )
     return KGResult(
         docs, segments, mentions, triples, canon, edges, sameas, doc_directory,
-        warnings, None, rw_mentions_t,
+        warnings, labels_tbl, corpus_mentions_t,
         cached=tuple(
             df for df in (
                 d_linked, rw_linked, s_vals, prior_dir, rework_doc_uris,

@@ -610,7 +610,13 @@ def _to_reading(runs: list[Run], rot: int) -> list[Run]:
 
 
 def order_runs(runs: list[Run], page_w: float) -> str:
-    runs = _to_reading(runs, _dominant_rot(runs))
+    rot = _dominant_rot(runs)
+    runs = _to_reading(runs, rot)
+    if rot in (1, 3) and runs:
+        # rotated a quarter turn: the reading x axis is the device y
+        # axis, so the gutter-width threshold must use the text
+        # block's actual reading-space extent, not the device width
+        page_w = max(_est_end(r) for r in runs) - min(r.x for r in runs)
     gutter = find_gutter(runs, page_w)
     cols = (
         [[r for r in runs if r.x < gutter], [r for r in runs if r.x >= gutter]]
@@ -705,13 +711,14 @@ def pdf_image_xobjects(payload: bytes) -> list[tuple[str, bytes]]:
     return out
 
 
-def is_image_only_pdf(payload: bytes) -> bool:
+def is_image_only_pdf(payload: bytes, images=None) -> bool:
     """True when the file has at least one image XObject and NO
     text-showing operators in any parseable content stream — the
     scanned-document signature (reference capability: ferenda's
     pdfreader falls back to OCR exactly here, pdfreader.py:213-330
-    convert_to_hocr)."""
-    if not pdf_image_xobjects(payload):
+    convert_to_hocr).  A caller that already extracted the image
+    list passes it in to skip the duplicate stream scan."""
+    if not (pdf_image_xobjects(payload) if images is None else images):
         return False
     fonts = document_fonts(payload)
     for m in _STREAM_IN_OBJ_RE.finditer(payload):
@@ -743,10 +750,11 @@ def extract_pdf_text_ocr(payload: bytes, ocr_fn=None) -> str | None:
     when the file is NOT image-only (callers use the normal text
     extractor).  The default ocr_fn raises NotImplementedError — the
     same contract as multimodal.decode_videos' ffmpeg seam."""
-    if not is_image_only_pdf(payload):
+    images = pdf_image_xobjects(payload)
+    if not is_image_only_pdf(payload, images=images):
         return None
     fn = ocr_fn or _default_ocr
-    texts = [fn(body, mt) for mt, body in pdf_image_xobjects(payload)]
+    texts = [fn(body, mt) for mt, body in images]
     return "\n".join(t for t in texts if t and t.strip())
 
 

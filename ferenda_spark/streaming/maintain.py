@@ -59,6 +59,10 @@ from ferenda_spark.pipeline import (
 from ferenda_spark.streaming.ingest import stream_pages
 
 STATE_TABLES = ("fingerprints", "docs", "segments", "mentions")
+#: prior-tail tables that switch incremental_kg onto the delta-scoped
+#: relational tail (pipeline._delta_tail); optional — a state dir
+#: from an older version simply falls back to the global tail
+TAIL_TABLES = ("labels", "canon", "triples", "edges")
 
 
 def _pointer(state_root: str) -> str:
@@ -80,8 +84,13 @@ def _vdir(state_root: str, version: int, name: str = "") -> str:
 
 
 def load_state(spark: SparkSession, state_root: str, version: int) -> KGState:
+    tail = {}
+    for t in TAIL_TABLES:
+        p = _vdir(state_root, version, t)
+        tail[t] = spark.read.parquet(p) if os.path.exists(p) else None
     return KGState(
-        *[spark.read.parquet(_vdir(state_root, version, t)) for t in STATE_TABLES]
+        *[spark.read.parquet(_vdir(state_root, version, t)) for t in STATE_TABLES],
+        **tail,
     )
 
 
@@ -156,6 +165,14 @@ def apply_batch(
     )
     n_triples = kg.triples.count()
     kg.triples.write.parquet(_vdir(state_root, batch_id, "triples"))
+    # tail tables: the next batch's delta-scoped relational tail
+    # (labels = corpus-wide (url, entity_label); canon map; relate
+    # edges — all production outputs anyway)
+    kg.linked.select("url", "entity_label").write.parquet(
+        _vdir(state_root, batch_id, "labels")
+    )
+    kg.canon.write.parquet(_vdir(state_root, batch_id, "canon"))
+    kg.edges.write.parquet(_vdir(state_root, batch_id, "edges"))
     with open(os.path.join(vdir, "meta.json"), "w") as f:
         json.dump(
             {

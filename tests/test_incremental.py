@@ -53,6 +53,34 @@ def test_incremental_equals_full_rebuild(spark):
     assert _triples(inc) != _triples(kg1)
 
 
+def test_chained_incremental_stays_delta_scoped(spark):
+    """Round 2 of incremental building must still run the
+    delta-scoped tail: kg_state() of an INCREMENTAL result carries
+    the tail tables (labels/canon/triples/edges — the contract that
+    result.linked is the corpus-wide label table), and the chained
+    rebuild still equals a full rebuild of the round-3 snapshot."""
+    pages1 = synth_pages(spark, N, seed=42)
+    kg1 = build_kg(spark, pages1)
+    kg1.triples.count()
+    pages2 = synth_pages_v2(spark, N, n_new=N_NEW, change_every=EVERY, seed=42)
+    inc2, _ = incremental_kg(spark, pages2, kg_state(pages1, kg1))
+    inc2.triples.count()
+
+    st2 = kg_state(pages2, inc2)
+    # the gate that selects _delta_tail over the global fallback
+    assert st2.labels is not None
+    assert st2.canon is not None and st2.triples is not None
+    assert st2.edges is not None
+
+    pages3 = synth_pages_v2(spark, N, n_new=N_NEW, change_every=3, seed=42)
+    inc3, delta3 = incremental_kg(spark, pages3, st2)
+    full3 = build_kg(spark, pages3)
+    assert _triples(inc3) == _triples(full3)
+    assert inc3.triples.count() == full3.triples.count()
+    assert _edges(inc3) == _edges(full3)
+    assert delta3.count() > 0
+
+
 def test_delta_detection_is_exact(spark):
     """Byte-identical recrawls are skipped even though warc_ts and
     row order differ; revised + new urls are all caught."""
