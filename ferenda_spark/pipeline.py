@@ -528,7 +528,12 @@ def _delta_tail(
         .unionByName(d_linked.select("entity_label"))
         .filter(F.col("entity_label").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # materialize cand (and d_linked beneath it) BEFORE the probe:
+    # both appear twice in the probe's plan, and parallel subtree
+    # scans of a cold cache each recompute the gazetteer+fuzzy pass
+    cand.count()
     new_has = labels_tbl.join(cand, "entity_label", "left_semi").select(
         "entity_label"
     ).distinct().withColumn("_n", F.lit(1))
@@ -637,8 +642,16 @@ def _delta_tail(
     triples_raw, _docids, rw_linked, rw_mentions_t = _assemble_triples(
         spark, rw_segments, rw_mentions, cfg, linked=rw_linked_in
     )
-    rework = rewrite_triples(triples_raw, canon)
-    triples = kept.unionByName(rework).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the REWORK slice only: the kept side is already
+    # materialized storage (the prior triples table — parquet in
+    # production, a cached DF in-memory), so caching the union would
+    # re-write ~the whole corpus into executor memory per rebuild;
+    # consumers re-scan kept columnar instead, and every consumer of
+    # the union (count, edges, validations) shares the cached rework
+    rework = rewrite_triples(triples_raw, canon).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    triples = kept.unionByName(rework)
 
     # directory from the PERSISTED prior projection + delta doc rows
     # (identical to a merged-segments projection, without re-scanning
@@ -695,8 +708,8 @@ def _delta_tail(
         warnings, labels_tbl, corpus_mentions_t,
         cached=tuple(
             df for df in (
-                d_linked, rw_linked, s_vals, prior_dir, rework_doc_uris,
-                rework_urls, triples,
+                d_linked, cand, rw_linked, s_vals, prior_dir,
+                rework_doc_uris, rework_urls, rework,
             ) if df is not None
         ),
     )

@@ -512,7 +512,15 @@ sameAs population — but only components whose canonical root changed
 and documents that changed (or share a docid with one) are
 re-emitted and re-rewritten; untouched rows are kept verbatim from
 the prior triples table, so the corpus-sized work left is a few
-narrow-column broadcast-filtered scans.  Raw JSON:
+narrow-column broadcast-filtered scans.
+
+Window sensitivity, measured: six same-day invocations of this bench
+(identical code modulo micro-optimizations, BENCH/incremental_runs_r5/)
+spanned within-run ratios 1.56-3.08 purely with host weather — the
+full build best-of ranged 26.1-43.9s and the incremental 13.2-19.5s
+on identical inputs.  The weather-neutral figure is best-vs-best
+across runs: 26.1s full vs 13.2s incremental = 1.98x, consistent
+with the balanced-window run recorded here.  Raw JSON:
 `BENCH/incremental_250k.json` (`BENCH_KG_ONLY=1 BENCH_KG_INC=1
 BENCH_KG_DOCS={inc['docs']} python bench.py`).
 """
